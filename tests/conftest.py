@@ -1,0 +1,19 @@
+"""Test configuration: force CPU with 8 virtual devices so mesh/sharding tests
+run without a TPU slice (the idiomatic JAX replacement for a fake backend —
+SURVEY.md §4).
+
+Note: the environment pre-imports jax with JAX_PLATFORMS=axon (sitecustomize),
+so the env var alone is ignored; jax.config.update before first backend use is
+authoritative.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")

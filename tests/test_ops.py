@@ -1,0 +1,294 @@
+"""Unit tests for core ops against independent (numpy/einops) references that
+re-derive the reference repo's formulas."""
+
+import math
+
+import einops
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visualcloze_tpu.ops import (
+    apply_rope,
+    attention,
+    bucket_length,
+    embed_nd,
+    get_lin_function,
+    get_schedule,
+    make_img_ids,
+    mha,
+    ode_timesteps,
+    pack_mask,
+    pack_sequences,
+    patchify,
+    rope_table,
+    shift_training_time,
+    time_shift,
+    timestep_embedding,
+    unpatchify,
+)
+from visualcloze_tpu.ops.attention import mask_to_bias, mha_xla
+
+
+# ---------- independent references (numpy, mirroring /root/reference math) ----------
+
+def ref_rope_matrix(pos, dim, theta):
+    """models/math.py:102-109 in numpy float64: (..., n, dim/2, 2, 2)."""
+    scale = np.arange(0, dim, 2, dtype=np.float64) / dim
+    omega = 1.0 / (theta ** scale)
+    out = np.einsum("...n,d->...nd", pos.astype(np.float64), omega)
+    mats = np.stack([np.cos(out), -np.sin(out), np.sin(out), np.cos(out)], axis=-1)
+    return mats.reshape(*mats.shape[:-1], 2, 2).astype(np.float32)
+
+
+def ref_apply_rope(x, freqs):
+    """models/math.py:112-117 in numpy."""
+    x_ = x.astype(np.float32).reshape(*x.shape[:-1], -1, 1, 2)
+    out = freqs[..., 0] * x_[..., 0] + freqs[..., 1] * x_[..., 1]
+    return out.reshape(x.shape)
+
+
+def ref_timestep_embedding(t, dim, max_period=10000):
+    t = 1000.0 * np.asarray(t, dtype=np.float32)
+    half = dim // 2
+    freqs = np.exp(-math.log(max_period) * np.arange(half, dtype=np.float32) / half)
+    args = t[:, None] * freqs[None]
+    return np.concatenate([np.cos(args), np.sin(args)], axis=-1)
+
+
+def ref_transport_time_shift(mu, sigma, t):
+    """transport/utils.py:33-39 (double-reversed convention)."""
+    t = 1 - t
+    t = math.exp(mu) / (math.exp(mu) + (1 / t - 1) ** sigma)
+    return 1 - t
+
+
+# ------------------------------- rope -------------------------------
+
+def test_rope_table_matches_reference_matrices():
+    pos = np.array([[0.0, 1.0, 2.0, 7.0, 63.0, 144.0]])
+    dim, theta = 16, 10_000
+    mats = ref_rope_matrix(pos, dim, theta)
+    cos, sin = rope_table(jnp.asarray(pos), dim, theta)
+    # fp32 on-device product vs the fp64 reference table: error must stay far
+    # below bf16 resolution (~4e-3 at |x|<=1)
+    np.testing.assert_allclose(np.asarray(cos), mats[..., 0, 0], atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sin), mats[..., 1, 0], atol=2e-5)
+
+
+def test_apply_rope_matches_reference():
+    rng = np.random.default_rng(0)
+    b, h, L, d = 2, 3, 8, 16
+    x = rng.standard_normal((b, h, L, d)).astype(np.float32)
+    pos = rng.integers(0, 50, size=(b, L)).astype(np.float32)
+    mats = ref_rope_matrix(pos, d, 10_000)  # (b, L, d/2, 2, 2)
+    want = ref_apply_rope(x, mats[:, None])  # broadcast over heads
+    cos, sin = rope_table(jnp.asarray(pos), d, 10_000)
+    got = apply_rope(jnp.asarray(x), cos[:, None], sin[:, None])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_embed_nd_concatenates_axes():
+    ids = np.stack(
+        [np.full((1, 5), 2.0), np.arange(5.0)[None], np.arange(5.0)[None] * 2], axis=-1
+    )
+    axes_dim = (4, 6, 6)
+    cos, sin = embed_nd(jnp.asarray(ids), axes_dim, 10_000)
+    assert cos.shape == (1, 5, sum(axes_dim) // 2)
+    c0, _ = rope_table(jnp.asarray(ids[..., 0]), 4, 10_000)
+    np.testing.assert_allclose(np.asarray(cos[..., :2]), np.asarray(c0), rtol=1e-6)
+
+
+# ------------------------------- schedule -------------------------------
+
+def test_timestep_embedding_matches_reference():
+    t = np.array([0.0, 0.25, 0.5, 1.0], dtype=np.float32)
+    want = ref_timestep_embedding(t, 256)
+    got = timestep_embedding(jnp.asarray(t), 256)
+    # args reach t*1000: fp32 exp/cos library differences are ~1e-4; anything
+    # below bf16 resolution (~4e-3) is equivalent for the bf16 model inputs
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-3)
+
+
+def test_get_schedule_endpoints_and_shift():
+    s = get_schedule(30, 3456, shift=True)
+    assert s.shape == (31,)
+    assert s[0] == pytest.approx(1.0)
+    assert s[-1] == pytest.approx(0.0)
+    assert np.all(np.diff(s) < 0)
+    # shifted schedule is above the unshifted one for mu > 0 (favors noise)
+    s_unshifted = get_schedule(30, 3456, shift=False)
+    assert np.all(s[1:-1] > s_unshifted[1:-1])
+
+
+def test_ode_timesteps_equals_reference_double_flip():
+    """ode_timesteps in flux time == 1 - (reference t-grid after its shift)."""
+    num_points, seq_len = 30, 3456
+    mu = get_lin_function(y1=0.5, y2=1.15)(seq_len)
+    t_ode = np.linspace(0.0, 1.0, num_points)
+    want = np.array(
+        [1.0 - ref_transport_time_shift(mu, 1.0, t) if 0 < t < 1 else 1.0 - t for t in t_ode]
+    )
+    got = ode_timesteps(num_points, seq_len, do_shift=True)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    assert got[0] == pytest.approx(1.0) and got[-1] == pytest.approx(0.0)
+
+
+def test_ode_timesteps_strength_sdedit():
+    # strength 0.4 (SDEdit): flux time starts at 1 - 0.4 = 0.6 when unshifted
+    got = ode_timesteps(10, 1024, do_shift=False, strength=0.4)
+    assert got[0] == pytest.approx(0.6)
+    assert got[-1] == pytest.approx(0.0)
+    assert len(got) == 10
+
+
+def test_shift_training_time_matches_transport_sample_shift():
+    """Transport.sample's shift (transport.py:123-127) in flux time."""
+    mu = get_lin_function(y1=0.5, y2=1.15)(2048)
+    t_ref = np.array([0.1, 0.4, 0.9])  # reference convention (1 = data)
+    want_ref = np.array([ref_transport_time_shift(mu, 1.0, t) for t in t_ref])
+    got = shift_training_time(jnp.asarray(1.0 - t_ref), 2048)  # flux time in
+    np.testing.assert_allclose(np.asarray(got), 1.0 - want_ref, rtol=1e-5)
+
+
+def test_time_shift_identity_points():
+    assert time_shift(0.7, 1.0, 1.0) == pytest.approx(1.0)
+    mu = 0.8
+    assert time_shift(mu, 1.0, 0.5) == pytest.approx(math.exp(mu) / (math.exp(mu) + 1))
+
+
+# ------------------------------- packing -------------------------------
+
+def test_patchify_matches_einops_channel_first():
+    rng = np.random.default_rng(1)
+    h, w, c = 6, 8, 5
+    lat_chw = rng.standard_normal((c, h, w)).astype(np.float32)
+    want = einops.rearrange(lat_chw, "c (h ph) (w pw) -> (h w) (c ph pw)", ph=2, pw=2)
+    got = patchify(jnp.asarray(lat_chw.transpose(1, 2, 0)))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+
+
+def test_unpatchify_roundtrip():
+    rng = np.random.default_rng(2)
+    lat = rng.standard_normal((2, 12, 16, 16)).astype(np.float32)
+    toks = patchify(jnp.asarray(lat))
+    back = unpatchify(toks, 12, 16)
+    np.testing.assert_allclose(np.asarray(back), lat, rtol=1e-6)
+
+
+def test_pack_mask_matches_einops_two_stage():
+    rng = np.random.default_rng(3)
+    hpx, wpx = 32, 48
+    mask = (rng.random((1, 1, hpx, wpx)) > 0.5).astype(np.float32)
+    m1 = einops.rearrange(mask, "b c (h ph) (w pw) -> b (c ph pw) h w", ph=8, pw=8)
+    want = einops.rearrange(m1, "b c (h ph) (w pw) -> b (h w) (c ph pw)", ph=2, pw=2)
+    got = pack_mask(jnp.asarray(mask[:, 0]))
+    np.testing.assert_allclose(np.asarray(got), want[0][None], rtol=1e-6)
+
+
+def test_make_img_ids_matches_reference_loop():
+    h_tok, w_tok, j = 3, 4, 2
+    ids = make_img_ids(h_tok, w_tok, j)
+    want = np.zeros((h_tok, w_tok, 3), dtype=np.float32)
+    want[..., 0] = j + 1
+    want[..., 1] += np.arange(h_tok)[:, None]
+    want[..., 2] += np.arange(w_tok)[None, :]
+    np.testing.assert_array_equal(ids, want.reshape(-1, 3))
+
+
+def test_pack_sequences_pads_and_masks():
+    t1 = np.ones((5, 4), np.float32)
+    t2 = np.full((3, 4), 2.0, np.float32)
+    ids1 = np.zeros((5, 3), np.float32)
+    ids2 = np.zeros((3, 3), np.float32)
+    img, img_ids, img_mask = pack_sequences([t1, t2], [ids1, ids2], pad_to=8)
+    assert img.shape == (2, 8, 4)
+    assert img_mask.tolist() == [[1] * 5 + [0] * 3, [1] * 3 + [0] * 5]
+    np.testing.assert_array_equal(img[1, 3:], 0)
+
+
+def test_bucket_length():
+    assert bucket_length(1, 256) == 256
+    assert bucket_length(256, 256) == 256
+    assert bucket_length(257, 256) == 512
+
+
+# ------------------------------- attention -------------------------------
+
+def ref_attention_unpad(q, k, v, mask):
+    """Simulate the reference's unpad -> exact attention -> re-pad-with-zeros."""
+    b, h, L, d = q.shape
+    out = np.zeros((b, h, L, d), dtype=np.float32)
+    for i in range(b):
+        valid = mask[i].astype(bool)
+        qi, ki, vi = q[i][:, valid], k[i][:, valid], v[i][:, valid]
+        logits = np.einsum("hqd,hkd->hqk", qi, ki) / math.sqrt(d)
+        logits -= logits.max(axis=-1, keepdims=True)
+        p = np.exp(logits)
+        p /= p.sum(axis=-1, keepdims=True)
+        out[i][:, valid] = np.einsum("hqk,hkd->hqd", p, vi)
+    return out
+
+
+def test_mha_xla_matches_unpad_reference():
+    rng = np.random.default_rng(4)
+    b, h, L, d = 2, 3, 16, 8
+    q = rng.standard_normal((b, h, L, d)).astype(np.float32)
+    k = rng.standard_normal((b, h, L, d)).astype(np.float32)
+    v = rng.standard_normal((b, h, L, d)).astype(np.float32)
+    mask = np.ones((b, L), np.int32)
+    mask[0, 10:] = 0
+    mask[1, 13:] = 0
+    want = ref_attention_unpad(q, k, v, mask)
+    got = mha_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), mask_to_bias(jnp.asarray(mask)))
+    got = np.asarray(got) * mask[:, None, :, None]
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_attention_full_wrapper_shapes_and_padding_zeroed():
+    rng = np.random.default_rng(5)
+    b, h, L, d = 1, 4, 12, 16
+    q = rng.standard_normal((b, h, L, d)).astype(np.float32)
+    ids = np.zeros((b, L, 3), np.float32)
+    ids[..., 1] = np.arange(L)
+    cos, sin = embed_nd(jnp.asarray(ids), (4, 6, 6), 10_000)
+    mask = np.ones((b, L), np.int32)
+    mask[0, 9:] = 0
+    out = attention(
+        jnp.asarray(q), jnp.asarray(q), jnp.asarray(q), (cos, sin),
+        mask=jnp.asarray(mask), impl="xla",
+    )
+    assert out.shape == (b, L, h * d)
+    np.testing.assert_array_equal(np.asarray(out[0, 9:]), 0)
+
+
+def test_flash_attention_interpret_matches_xla():
+    """Pallas kernel in interpreter mode vs the XLA oracle."""
+    from visualcloze_tpu.ops import flash_attention as fa
+
+    rng = np.random.default_rng(6)
+    b, h, L, d = 2, 2, 256, 32
+    q = rng.standard_normal((b, h, L, d)).astype(np.float32)
+    k = rng.standard_normal((b, h, L, d)).astype(np.float32)
+    v = rng.standard_normal((b, h, L, d)).astype(np.float32)
+    mask = np.ones((b, L), np.int32)
+    mask[0, 200:] = 0
+    bias = mask_to_bias(jnp.asarray(mask))
+
+    import unittest.mock as um
+
+    orig = fa.pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        kwargs.pop("compiler_params", None)
+        return orig(*args, **kwargs)
+
+    with um.patch.object(fa.pl, "pallas_call", interp_call):
+        got = fa._flash_fwd(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), bias,
+            block_q=128, block_k=128,
+        )
+    want = mha_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)

@@ -1,0 +1,120 @@
+"""Attention entry point for all FLUX blocks.
+
+TPU-native counterpart of the reference's attention path (models/math.py:63-99),
+which RoPE-rotates q/k then calls flash-attn's varlen CUDA kernel on unpadded
+sequences. On TPU we keep static shapes: padding is expressed as a key-side
+additive bias and padded query outputs are zeroed (numerically identical to
+the reference's unpad -> flash -> re-pad-with-zeros round trip, because padded
+keys are excluded from every softmax and padded queries are ignored
+downstream).
+
+Two implementations:
+  - "xla":    fp32-softmax einsum attention; always available, used as the
+              correctness oracle and on CPU.
+  - "pallas": the fused MXU-tiled online-softmax kernel
+              (ops/flash_attention.py); fwd-optimized, with gradients via an
+              XLA-recompute VJP.
+"auto" picks pallas on TPU, xla elsewhere.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .rope import apply_rope
+
+NEG_INF = -1e30
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover - no backend at trace time
+        return False
+
+
+def mask_to_bias(mask: jnp.ndarray | None, length: int | None = None) -> jnp.ndarray | None:
+    """(B, L) {0,1} key mask -> (B, L) additive fp32 bias (0 / -inf)."""
+    if mask is None:
+        return None
+    return jnp.where(mask > 0, 0.0, NEG_INF).astype(jnp.float32)
+
+
+def mha_xla(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Reference multi-head attention with fp32 softmax.
+
+    Args:
+      q, k, v: (B, H, L, D).
+      bias: (B, Lk) additive key bias or None.
+    Returns: (B, H, L, D) in q.dtype.
+    """
+    d = q.shape[-1]
+    scale = d ** -0.5
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if bias is not None:
+        logits = logits + bias[:, None, None, :]
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    return out.astype(q.dtype)
+
+
+def mha(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Multi-head attention dispatch. q, k, v: (B, H, L, D)."""
+    if impl == "auto":
+        impl = "pallas" if _on_tpu() else "xla"
+    if impl == "pallas":
+        from .flash_attention import flash_mha
+
+        return flash_mha(q, k, v, bias)
+    if impl == "xla":
+        return mha_xla(q, k, v, bias)
+    raise ValueError(f"unknown attention impl {impl!r}")
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    pe: tuple[jnp.ndarray, jnp.ndarray] | None,
+    mask: jnp.ndarray | None = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """RoPE + masked MHA + head merge (ref: models/math.py:63-99).
+
+    Args:
+      q, k, v: (B, H, L, D).
+      pe: (cos, sin) tables, each (B, L, D//2) — applied to q and k in fp32.
+      mask: (B, L) int {1=real, 0=pad} over the key/query sequence.
+    Returns:
+      (B, L, H*D) in q.dtype; padded query positions zeroed.
+    """
+    if pe is not None:
+        cos, sin = pe
+        cos = cos[:, None]  # broadcast over heads
+        sin = sin[:, None]
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+    bias = mask_to_bias(mask)
+    x = mha(q, k, v, bias=bias, impl=impl)
+    b, h, l, d = x.shape
+    x = jnp.swapaxes(x, 1, 2).reshape(b, l, h * d)
+    if mask is not None:
+        # flash-attn's pad_input fills padded query rows with zeros; match it.
+        x = x * mask[..., None].astype(x.dtype)
+    return x

@@ -1,0 +1,145 @@
+"""Pallas TPU flash attention (non-causal, key-padding bias).
+
+TPU-native replacement for the reference's flash-attn CUDA varlen kernel
+(models/math.py:5-6, 85-95; SURVEY.md §2.9 item 1). Instead of unpadding to
+cu_seqlens (dynamic shapes XLA can't tile), padding is a key-side additive
+bias over static, bucketed sequence lengths.
+
+Design:
+  - grid (B, H, num_q_blocks, num_k_blocks); the k dimension is innermost so
+    the online-softmax state (running max / sum / accumulator) lives in VMEM
+    scratch across sequential k iterations.
+  - q/k/v blocks are MXU-tiled (BQ x D) @ (BK x D)^T with fp32 accumulation;
+    inputs stay bf16.
+  - The bias block is (1, BK) fp32, broadcast over query rows.
+  - Gradients: `flash_mha` is a custom_vjp whose backward recomputes with the
+    XLA oracle (ops/attention.mha_xla) — exact gradients, Pallas-speed
+    forward in the sampling hot loop. (A fused Pallas backward is a planned
+    optimization; training throughput is dominated by the fwd+bwd matmuls.)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref, *, scale):
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0]  # (BQ, D)
+    k = k_ref[0, 0]  # (BK, D)
+    v = v_ref[0, 0]  # (BK, D)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (BQ, BK)
+    s = s + bias_ref[0][None, :]  # key-padding bias broadcast over queries
+
+    m_prev = m_ref[:, 0]  # (BQ,)
+    m_cur = jnp.max(s, axis=-1)  # (BQ,)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)  # (BQ,)
+    p = jnp.exp(s - m_new[:, None])  # (BQ, BK) fp32
+    l_new = l_ref[:, 0] * alpha + jnp.sum(p, axis=-1)
+    acc_ref[:] = acc_ref[:] * alpha[:, None] + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:] = jnp.broadcast_to(m_new[:, None], m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new[:, None], l_ref.shape)
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        l = l_ref[:, 0]
+        l = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows -> zeros, not NaN
+        o_ref[0, 0] = (acc_ref[:] / l[:, None]).astype(o_ref.dtype)
+
+
+def _pick_block(length: int, preferred: int) -> int:
+    block = min(preferred, length)
+    while length % block:
+        block //= 2
+    return max(block, 1)
+
+
+def _flash_fwd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray | None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jnp.ndarray:
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    if bias is None:
+        bias = jnp.zeros((b, lk), dtype=jnp.float32)
+    bias = bias.astype(jnp.float32)
+
+    bq = _pick_block(lq, block_q)
+    bk = _pick_block(lk, block_k)
+    grid = (b, h, lq // bq, lk // bk)
+
+    kernel = functools.partial(_flash_kernel, scale=d ** -0.5)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0)),
+            pl.BlockSpec((1, 1, bk, d), lambda b_, h_, iq, ik: (b_, h_, ik, 0)),
+            pl.BlockSpec((1, 1, bk, d), lambda b_, h_, iq, ik: (b_, h_, ik, 0)),
+            pl.BlockSpec((1, bk), lambda b_, h_, iq, ik: (b_, ik)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),  # running max
+            pltpu.VMEM((bq, 128), jnp.float32),  # running sum
+            pltpu.VMEM((bq, d), jnp.float32),  # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * lq * lk * d,
+            bytes_accessed=(2 * b * h * lq * d + 2 * b * h * lk * d) * q.dtype.itemsize,
+            transcendentals=b * h * lq * lk,
+        ),
+    )(q, k, v, bias)
+
+
+@jax.custom_vjp
+def flash_mha(q, k, v, bias):
+    """Flash attention: q, k, v (B, H, L, D) bf16/fp32, bias (B, Lk) fp32 or None."""
+    return _flash_fwd(q, k, v, bias)
+
+
+def _flash_mha_fwd(q, k, v, bias):
+    return _flash_fwd(q, k, v, bias), (q, k, v, bias)
+
+
+def _flash_mha_bwd(res, g):
+    from .attention import mha_xla
+
+    q, k, v, bias = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: mha_xla(q_, k_, v_, bias), q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+flash_mha.defvjp(_flash_mha_fwd, _flash_mha_bwd)
