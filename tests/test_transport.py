@@ -1,0 +1,184 @@
+"""Transport tests: path math, loss equivalence to the reference's
+double-flipped conventions, and scan-based samplers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visualcloze_tpu.ops.schedule import ode_timesteps
+from visualcloze_tpu.transport import Sampler, create_transport, denoise_ode, denoise_sde
+from visualcloze_tpu.transport.path import GVPCPlan, ICPlan, VPCPlan
+
+
+def test_linear_path_plan_matches_reference_formulas():
+    rng = np.random.default_rng(0)
+    x0 = rng.standard_normal((2, 5, 3)).astype(np.float32)
+    x1 = rng.standard_normal((2, 5, 3)).astype(np.float32)
+    t = np.array([0.3, 0.8], np.float32)
+    plan = ICPlan()
+    _, xt, ut = plan.plan(jnp.asarray(t), jnp.asarray(x0), jnp.asarray(x1))
+    want_xt = t[:, None, None] * x1 + (1 - t[:, None, None]) * x0
+    want_ut = x1 - x0
+    np.testing.assert_allclose(np.asarray(xt), want_xt, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ut), want_ut, rtol=1e-6)
+
+
+def test_score_velocity_roundtrip():
+    plan = ICPlan()
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 4)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((2, 4)).astype(np.float32))
+    t = jnp.asarray([0.4, 0.7])
+    score = plan.get_score_from_velocity(v, x, t)
+    v_back = plan.get_velocity_from_score(score, x, t)
+    np.testing.assert_allclose(np.asarray(v_back), np.asarray(v), rtol=1e-4, atol=1e-5)
+
+
+def test_vp_gvp_paths_finite():
+    for plan in (VPCPlan(), GVPCPlan()):
+        t = jnp.asarray([0.2, 0.5, 0.9])
+        a, da = plan.compute_alpha_t(t)
+        s, ds = plan.compute_sigma_t(t)
+        assert np.isfinite(np.asarray([a, da, s, ds])).all()
+
+
+def test_training_loss_equivalence_to_reference_convention():
+    """Simulate the reference's loss (data-time t, model sees 1-t, output
+    negated) and check our flux-time loss computes the identical value."""
+    transport = create_transport("Linear", "velocity", snr_type="lognorm", do_shift=False)
+    rng = np.random.default_rng(2)
+    b, L, d = 2, 6, 4
+    x1 = rng.standard_normal((b, L, d)).astype(np.float32)
+    x0 = rng.standard_normal((b, L, d)).astype(np.float32)
+    t_ref = np.array([0.25, 0.6], np.float32)  # reference convention (1 = data)
+    mask = np.array([[1] * 4 + [0] * 2, [1] * 6], np.int32)
+
+    # a deterministic stand-in model: velocity = 2*x + t (flux-time convention)
+    def model_fn(img, timesteps):
+        return 2.0 * img + timesteps[:, None, None]
+
+    # reference computation (numpy): out = model(xt, 1 - t_ref); model_output = -out
+    xt = t_ref[:, None, None] * x1 + (1 - t_ref[:, None, None]) * x0
+    ut = x1 - x0
+    out_ref = -(2.0 * xt + (1 - t_ref)[:, None, None])
+    diff = (out_ref - ut) * mask[..., None]
+    want = (diff ** 2).sum(axis=(1, 2)) / (mask.sum(axis=1) * d)
+
+    # ours: same xt/t via injected flux-time t and noise. The raw reference
+    # network IS the flux-time velocity model (the reference negates its
+    # output to compare against the data-time ut; we compare the raw output
+    # against the flux-time target -ut — identical loss), so the very same
+    # model_fn drives both computations.
+    terms = transport.training_losses(
+        model_fn,
+        jax.random.PRNGKey(0),
+        jnp.asarray(x1),
+        img_mask=jnp.asarray(mask),
+        t=jnp.asarray(1.0 - t_ref),
+        noise=jnp.asarray(x0),
+    )
+    np.testing.assert_allclose(np.asarray(terms["loss"]), want, rtol=1e-5)
+
+
+def test_sample_t_ranges():
+    transport = create_transport("Linear", "velocity", snr_type="lognorm", do_shift=True)
+    t = transport.sample_t(jax.random.PRNGKey(0), 512, image_seq_len=2048)
+    t = np.asarray(t)
+    assert ((t > 0) & (t < 1)).all()
+    # the shift pushes mass toward t=1 (noise) for long sequences
+    t_unshifted = create_transport(
+        "Linear", "velocity", snr_type="lognorm", do_shift=False
+    ).sample_t(jax.random.PRNGKey(0), 512, image_seq_len=2048)
+    assert t.mean() > np.asarray(t_unshifted).mean()
+
+
+def test_denoise_ode_constant_velocity_exact():
+    def model_fn(img, timesteps):
+        return jnp.full_like(img, 3.0)
+
+    x = jnp.ones((1, 4, 2))
+    ts = jnp.asarray(ode_timesteps(30, 1024, do_shift=True))
+    out = denoise_ode(model_fn, x, ts, {})
+    # integral of constant velocity over t: 1 -> 0 is exactly -3
+    np.testing.assert_allclose(np.asarray(out), 1.0 - 3.0, rtol=1e-5)
+
+
+def test_denoise_ode_matches_python_loop():
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((4, 4)).astype(np.float32) * 0.1
+
+    def model_fn(img, timesteps):
+        return img @ jnp.asarray(w) + timesteps[:, None, None]
+
+    x0 = rng.standard_normal((2, 3, 4)).astype(np.float32)
+    ts = ode_timesteps(10, 512, do_shift=True)
+    got = denoise_ode(model_fn, jnp.asarray(x0), jnp.asarray(ts), {})
+
+    x = x0.copy()
+    for tc, tn in zip(ts[:-1], ts[1:]):
+        v = x @ w + np.full((2, 1, 1), tc, np.float32)
+        x = x + (tn - tc) * v
+    np.testing.assert_allclose(np.asarray(got), x, rtol=1e-4, atol=1e-5)
+
+
+def test_denoise_ode_cond_concatenation():
+    def model_fn(img, timesteps):
+        assert img.shape[-1] == 6  # 2 data + 4 cond channels
+        return img[..., :2]
+
+    x = jnp.ones((1, 3, 2))
+    cond = jnp.ones((1, 3, 4))
+    ts = jnp.asarray([1.0, 0.5, 0.0])
+    out = denoise_ode(model_fn, x, ts, {}, cond=cond)
+    assert out.shape == (1, 3, 2)
+
+
+def test_heun_exact_on_linear_in_t_velocity():
+    # v(t) = 2t: exact integral over [1, 0] is -1; heun integrates linear-in-t
+    # velocities exactly, euler does not
+    def model_fn(img, timesteps):
+        return jnp.broadcast_to((2 * timesteps)[:, None, None], img.shape)
+
+    x = jnp.zeros((1, 2, 2))
+    ts = jnp.asarray(np.linspace(1.0, 0.0, 6, dtype=np.float32))
+    out_heun = denoise_ode(model_fn, x, ts, {}, method="heun")
+    np.testing.assert_allclose(np.asarray(out_heun), -1.0, rtol=1e-5)
+    out_euler = denoise_ode(model_fn, x, ts, {}, method="euler")
+    assert abs(np.asarray(out_euler)[0, 0, 0] + 1.0) > 1e-3
+
+
+def test_sampler_closure_matches_reference_call_pattern():
+    transport = create_transport("Linear", "velocity", do_shift=True)
+    sampler = Sampler(transport)
+    sample_fn = sampler.sample_ode(sampling_method="euler", num_steps=5, do_shift=False, strength=0.4)
+
+    seen_ts = []
+
+    def model_fn(img, timesteps, **kw):
+        seen_ts.append(float(timesteps[0]))
+        return jnp.zeros_like(img[..., :2])
+
+    x = jnp.ones((1, 8, 2))
+    with jax.disable_jit():
+        sample_fn(x, model_fn, {"cond": jnp.ones((1, 8, 3))})
+    # SDEdit strength: first step starts at flux time 1 - 0.4
+    assert seen_ts[0] == pytest.approx(0.6, abs=1e-5)
+
+
+def test_sde_with_zero_diffusion_matches_ode():
+    rng = np.random.default_rng(4)
+    w = rng.standard_normal((3, 3)).astype(np.float32) * 0.1
+
+    def model_fn(img, timesteps):
+        return img @ jnp.asarray(w)
+
+    transport = create_transport("Linear", "velocity", do_shift=False)
+    x = jnp.asarray(rng.standard_normal((1, 4, 3)).astype(np.float32))
+    ts = jnp.asarray(np.linspace(1.0, 0.0, 8, dtype=np.float32))
+    out_sde = denoise_sde(
+        transport, model_fn, jax.random.PRNGKey(0), x, ts, {},
+        diffusion_form="constant", diffusion_norm=0.0, last_step="Euler",
+    )
+    out_ode = denoise_ode(model_fn, x, ts, {})
+    np.testing.assert_allclose(np.asarray(out_sde), np.asarray(out_ode), rtol=1e-4, atol=1e-5)

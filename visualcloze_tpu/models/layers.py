@@ -1,0 +1,268 @@
+"""Functional FLUX transformer layers.
+
+TPU-native counterpart of the reference's nn.Module layers
+(models/modules/layers.py). Everything here is a pure function over parameter
+pytrees; blocks are designed to be stacked along a leading axis and driven by
+`lax.scan` (one compiled block body instead of 57 unrolled blocks — compile
+time and HBM-resident code size both drop by ~50x).
+
+Precision policy (mirrors the reference under torch.autocast bf16):
+  - matmuls in the parameter dtype (bf16 on TPU) with MXU fp32 accumulation,
+  - LayerNorm / RMSNorm / RoPE / softmax in fp32,
+  - modulation arithmetic in fp32, cast to bf16 at the next matmul.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..config import FluxConfig
+from ..ops.attention import attention
+
+Params = dict[str, Any]
+
+
+# ----------------------------- primitives -----------------------------
+
+def _lora_delta(lora: Params, x: jnp.ndarray, scale) -> jnp.ndarray:
+    """x @ A @ B * scale (+ B bias); lora_B carries a bias in the reference
+    (models/modules/lora.py:77-88, lora_bias=True)."""
+    y = jnp.einsum("...i,ir->...r", x, lora["a"].astype(x.dtype))
+    y = jnp.einsum("...r,ro->...o", y, lora["b"].astype(x.dtype))
+    if "b_bias" in lora:
+        y = y + lora["b_bias"].astype(y.dtype)
+    return y * jnp.asarray(scale, dtype=y.dtype)
+
+
+def linear(p: Params, x: jnp.ndarray, lora: Params | None = None, lora_scale=1.0) -> jnp.ndarray:
+    """y = x @ W (+ b) (+ LoRA delta). W stored (in, out)."""
+    w = p["w"]
+    x = x.astype(w.dtype)
+    y = jnp.einsum("...i,io->...o", x, w)
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    if lora is not None:
+        y = y + _lora_delta(lora, x, lora_scale)
+    return y
+
+
+def layer_norm(x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Affine-free LayerNorm in fp32 (returns fp32, like torch autocast)."""
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    return (x32 - mu) * jax.lax.rsqrt(var + eps)
+
+
+def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """fp32 RMS norm, cast back before the learned scale
+    (ref: models/modules/layers.py:63-72)."""
+    x32 = x.astype(jnp.float32)
+    rrms = jax.lax.rsqrt(jnp.mean(jnp.square(x32), axis=-1, keepdims=True) + eps)
+    return (x32 * rrms).astype(x.dtype) * scale.astype(x.dtype)
+
+
+def qk_norm(p: Params, q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray):
+    """RMS-normalize q and k, cast to v's dtype (ref layers.py:75-84)."""
+    q = rms_norm(q, p["q_scale"]).astype(v.dtype)
+    k = rms_norm(k, p["k_scale"]).astype(v.dtype)
+    return q, k
+
+
+def mlp_embedder(p: Params, x: jnp.ndarray, lora: Params | None = None, lora_scale=1.0) -> jnp.ndarray:
+    """out_layer(silu(in_layer(x))) (ref layers.py:52-60)."""
+    l = lora or {}
+    h = linear(p["in_layer"], x, l.get("in_layer"), lora_scale)
+    h = jax.nn.silu(h)
+    return linear(p["out_layer"], h, l.get("out_layer"), lora_scale)
+
+
+def modulation(p: Params, vec: jnp.ndarray, double: bool, lora: Params | None = None, lora_scale=1.0):
+    """adaLN modulation: silu -> linear -> chunks of (shift, scale, gate)
+    (ref layers.py:113-126). Returns fp32 chunks with a length-1 seq axis."""
+    mult = 6 if double else 3
+    out = linear(p["lin"], jax.nn.silu(vec), lora, lora_scale)
+    out = out.astype(jnp.float32)[:, None, :]
+    chunks = jnp.split(out, mult, axis=-1)
+    m1 = {"shift": chunks[0], "scale": chunks[1], "gate": chunks[2]}
+    m2 = {"shift": chunks[3], "scale": chunks[4], "gate": chunks[5]} if double else None
+    return m1, m2
+
+
+def _split_heads(qkv: jnp.ndarray, num_heads: int):
+    """(B, L, 3*H*D) -> three (B, H, L, D); feature order (k, h, d) matches
+    the reference rearrange "B L (K H D) -> K B H L D"."""
+    b, l, f = qkv.shape
+    d = f // (3 * num_heads)
+    x = qkv.reshape(b, l, 3, num_heads, d)
+    x = jnp.moveaxis(x, (2, 3), (0, 2))  # (3, B, H, L, D)
+    return x[0], x[1], x[2]
+
+
+# ----------------------------- blocks -----------------------------
+
+def double_block(
+    cfg: FluxConfig,
+    p: Params,
+    img: jnp.ndarray,
+    txt: jnp.ndarray,
+    vec: jnp.ndarray,
+    pe,
+    attn_mask: jnp.ndarray | None,
+    lora: Params | None = None,
+    lora_scale=1.0,
+    attn_impl: str = "auto",
+):
+    """DoubleStreamBlock (ref layers.py:129-196): separate img/txt streams with
+    joint attention over concat(txt, img)."""
+    l = lora or {}
+    img_mod1, img_mod2 = modulation(p["img_mod"], vec, True, l.get("img_mod", {}).get("lin"), lora_scale)
+    txt_mod1, txt_mod2 = modulation(p["txt_mod"], vec, True, l.get("txt_mod", {}).get("lin"), lora_scale)
+
+    def qkv_stream(stream_p, stream_l, x, mod):
+        x_mod = (1.0 + mod["scale"]) * layer_norm(x) + mod["shift"]
+        qkv = linear(stream_p["qkv"], x_mod, stream_l.get("qkv"), lora_scale)
+        q, k, v = _split_heads(qkv, cfg.num_heads)
+        q, k = qk_norm(stream_p["norm"], q, k, v)
+        return q, k, v
+
+    img_q, img_k, img_v = qkv_stream(p["img_attn"], l.get("img_attn", {}), img, img_mod1)
+    txt_q, txt_k, txt_v = qkv_stream(p["txt_attn"], l.get("txt_attn", {}), txt, txt_mod1)
+
+    q = jnp.concatenate([txt_q, img_q], axis=2)
+    k = jnp.concatenate([txt_k, img_k], axis=2)
+    v = jnp.concatenate([txt_v, img_v], axis=2)
+
+    attn = attention(q, k, v, pe, mask=attn_mask, impl=attn_impl)
+    txt_len = txt.shape[1]
+    txt_attn, img_attn = attn[:, :txt_len], attn[:, txt_len:]
+
+    def mlp(stream_p, stream_l, x, mod):
+        x_mod = ((1.0 + mod["scale"]) * layer_norm(x) + mod["shift"])
+        h = linear(stream_p["0"], x_mod, stream_l.get("0"), lora_scale)
+        h = jax.nn.gelu(h, approximate=True)
+        return linear(stream_p["2"], h, stream_l.get("2"), lora_scale)
+
+    img = img + (img_mod1["gate"] * linear(
+        p["img_attn"]["proj"], img_attn, l.get("img_attn", {}).get("proj"), lora_scale
+    ).astype(jnp.float32)).astype(img.dtype)
+    img = img + (img_mod2["gate"] * mlp(p["img_mlp"], l.get("img_mlp", {}), img, img_mod2).astype(jnp.float32)).astype(img.dtype)
+
+    txt = txt + (txt_mod1["gate"] * linear(
+        p["txt_attn"]["proj"], txt_attn, l.get("txt_attn", {}).get("proj"), lora_scale
+    ).astype(jnp.float32)).astype(txt.dtype)
+    txt = txt + (txt_mod2["gate"] * mlp(p["txt_mlp"], l.get("txt_mlp", {}), txt, txt_mod2).astype(jnp.float32)).astype(txt.dtype)
+    return img, txt
+
+
+def single_block(
+    cfg: FluxConfig,
+    p: Params,
+    x: jnp.ndarray,
+    vec: jnp.ndarray,
+    pe,
+    attn_mask: jnp.ndarray | None,
+    lora: Params | None = None,
+    lora_scale=1.0,
+    attn_impl: str = "auto",
+) -> jnp.ndarray:
+    """SingleStreamBlock (ref layers.py:199-245): fused parallel attn+MLP."""
+    l = lora or {}
+    mod, _ = modulation(p["modulation"], vec, False, l.get("modulation", {}).get("lin"), lora_scale)
+    x_mod = ((1.0 + mod["scale"]) * layer_norm(x) + mod["shift"]).astype(x.dtype)
+    h = linear(p["linear1"], x_mod, l.get("linear1"), lora_scale)
+    qkv, mlp_h = jnp.split(h, [3 * cfg.hidden_size], axis=-1)
+    q, k, v = _split_heads(qkv, cfg.num_heads)
+    q, k = qk_norm(p["norm"], q, k, v)
+    attn = attention(q, k, v, pe, mask=attn_mask, impl=attn_impl)
+    out = linear(
+        p["linear2"],
+        jnp.concatenate([attn, jax.nn.gelu(mlp_h, approximate=True)], axis=-1),
+        l.get("linear2"),
+        lora_scale,
+    )
+    return x + (mod["gate"] * out.astype(jnp.float32)).astype(x.dtype)
+
+
+def last_layer(
+    p: Params,
+    x: jnp.ndarray,
+    vec: jnp.ndarray,
+    lora: Params | None = None,
+    lora_scale=1.0,
+) -> jnp.ndarray:
+    """LastLayer (ref layers.py:248-259): adaLN (shift, scale) + linear."""
+    l = lora or {}
+    mod = linear(p["adaLN"], jax.nn.silu(vec), l.get("adaLN"), lora_scale).astype(jnp.float32)
+    shift, scale = jnp.split(mod, 2, axis=-1)
+    x = (1.0 + scale[:, None]) * layer_norm(x) + shift[:, None]
+    return linear(p["linear"], x.astype(p["linear"]["w"].dtype), l.get("linear"), lora_scale)
+
+
+# ----------------------------- initializers -----------------------------
+
+def _init_linear(key, d_in: int, d_out: int, bias: bool = True, dtype=jnp.float32) -> Params:
+    kw, _ = jax.random.split(key)
+    w = jax.random.normal(kw, (d_in, d_out), dtype=jnp.float32) * (d_in ** -0.5)
+    p = {"w": w.astype(dtype)}
+    if bias:
+        p["b"] = jnp.zeros((d_out,), dtype=dtype)
+    return p
+
+
+def init_mlp_embedder(key, d_in: int, d_hidden: int, dtype=jnp.float32) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "in_layer": _init_linear(k1, d_in, d_hidden, dtype=dtype),
+        "out_layer": _init_linear(k2, d_hidden, d_hidden, dtype=dtype),
+    }
+
+
+def init_double_block(key, cfg: FluxConfig, dtype=jnp.float32) -> Params:
+    ks = jax.random.split(key, 10)
+    h, mh, d = cfg.hidden_size, cfg.mlp_hidden_dim, cfg.head_dim
+    return {
+        "img_mod": {"lin": _init_linear(ks[0], h, 6 * h, dtype=dtype)},
+        "txt_mod": {"lin": _init_linear(ks[1], h, 6 * h, dtype=dtype)},
+        "img_attn": {
+            "qkv": _init_linear(ks[2], h, 3 * h, bias=cfg.qkv_bias, dtype=dtype),
+            "proj": _init_linear(ks[3], h, h, dtype=dtype),
+            "norm": {"q_scale": jnp.ones((d,), dtype), "k_scale": jnp.ones((d,), dtype)},
+        },
+        "txt_attn": {
+            "qkv": _init_linear(ks[4], h, 3 * h, bias=cfg.qkv_bias, dtype=dtype),
+            "proj": _init_linear(ks[5], h, h, dtype=dtype),
+            "norm": {"q_scale": jnp.ones((d,), dtype), "k_scale": jnp.ones((d,), dtype)},
+        },
+        "img_mlp": {
+            "0": _init_linear(ks[6], h, mh, dtype=dtype),
+            "2": _init_linear(ks[7], mh, h, dtype=dtype),
+        },
+        "txt_mlp": {
+            "0": _init_linear(ks[8], h, mh, dtype=dtype),
+            "2": _init_linear(ks[9], mh, h, dtype=dtype),
+        },
+    }
+
+
+def init_single_block(key, cfg: FluxConfig, dtype=jnp.float32) -> Params:
+    ks = jax.random.split(key, 3)
+    h, mh, d = cfg.hidden_size, cfg.mlp_hidden_dim, cfg.head_dim
+    return {
+        "linear1": _init_linear(ks[0], h, 3 * h + mh, dtype=dtype),
+        "linear2": _init_linear(ks[1], h + mh, h, dtype=dtype),
+        "norm": {"q_scale": jnp.ones((d,), dtype), "k_scale": jnp.ones((d,), dtype)},
+        "modulation": {"lin": _init_linear(ks[2], h, 3 * h, dtype=dtype)},
+    }
+
+
+def init_last_layer(key, cfg: FluxConfig, dtype=jnp.float32) -> Params:
+    k1, k2 = jax.random.split(key)
+    h = cfg.hidden_size
+    return {
+        "linear": _init_linear(k1, h, cfg.out_channels, dtype=dtype),
+        "adaLN": _init_linear(k2, h, 2 * h, dtype=dtype),
+    }

@@ -1,0 +1,204 @@
+"""Flow samplers: jit-compiled `lax.scan` integrators.
+
+TPU-native replacement for the reference's torchdiffeq hot loop
+(transport/integrators.py:79-120 + transport/transport.py:252-410,
+SURVEY.md §2.9 item 7): the timestep grid is precomputed host-side
+(ops/schedule.ode_timesteps folds away the reference's time double-flips) and
+the whole denoise loop is ONE compiled XLA program — no per-step dispatch,
+no host sync.
+
+Conventions: flux time (t=1 noise); the model predicts flux-time velocity;
+Euler step x += (t_next - t_cur) * v. `num_steps` grid points perform
+num_steps-1 integrator steps, matching torchdiffeq-on-a-grid semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.schedule import ode_timesteps
+from .transport import Transport
+
+ModelFn = Callable[..., jnp.ndarray]
+
+
+def denoise_ode(
+    model_fn: ModelFn,
+    x: jnp.ndarray,
+    timesteps: jnp.ndarray,
+    model_kwargs: dict[str, Any],
+    cond: jnp.ndarray | None = None,
+    method: str = "euler",
+) -> jnp.ndarray:
+    """Integrate dx/dt = v(x, t) over a descending flux-time grid.
+
+    Args:
+      model_fn: callable(img, timesteps=(B,), **model_kwargs) -> velocity.
+      x: (B, L, D) initial noise tokens.
+      timesteps: (N,) descending grid (from ops.schedule.ode_timesteps).
+      cond: optional (B, L, C) channel-concatenated conditioning
+        (transport.py:193-198 velocity_ode).
+      method: "euler" (reference default) or "heun" (2nd order).
+
+    Returns final x.
+    """
+    b = x.shape[0]
+
+    def velocity(x, t):
+        t_vec = jnp.full((b,), t, dtype=x.dtype)
+        inp = jnp.concatenate([x, cond.astype(x.dtype)], axis=-1) if cond is not None else x
+        return model_fn(inp, timesteps=t_vec, **model_kwargs)
+
+    pairs = jnp.stack([timesteps[:-1], timesteps[1:]], axis=1)
+
+    if method == "euler":
+        def step(x, pair):
+            t_cur, t_next = pair[0], pair[1]
+            v = velocity(x, t_cur)
+            return x + (t_next - t_cur) * v.astype(x.dtype), None
+    elif method == "heun":
+        def step(x, pair):
+            t_cur, t_next = pair[0], pair[1]
+            dt = t_next - t_cur
+            v1 = velocity(x, t_cur).astype(x.dtype)
+            x_mid = x + dt * v1
+            v2 = velocity(x_mid, t_next).astype(x.dtype)
+            return x + dt * 0.5 * (v1 + v2), None
+    else:
+        raise NotImplementedError(f"ODE method {method!r}")
+
+    x, _ = jax.lax.scan(step, x, pairs)
+    return x
+
+
+def denoise_sde(
+    transport: Transport,
+    model_fn: ModelFn,
+    key: jax.Array,
+    x: jnp.ndarray,
+    timesteps: jnp.ndarray,
+    model_kwargs: dict[str, Any],
+    cond: jnp.ndarray | None = None,
+    diffusion_form: str = "SBDM",
+    diffusion_norm: float = 1.0,
+    last_step: str = "Mean",
+) -> jnp.ndarray:
+    """Euler–Maruyama SDE sampler sharing marginals with the flow ODE.
+
+    Flux-time translation of the reference's sde loop
+    (transport/integrators.py:5-76, transport.py:252-359): with flux step
+    ds < 0, dx = [v - w(t)*score] ds + sqrt(2 w(t) |ds|) dW.
+    Available for parity; the shipped pipeline uses the ODE.
+    """
+    b = x.shape[0]
+    plan = transport.path
+
+    def velocity(x, t):
+        t_vec = jnp.full((b,), t, dtype=x.dtype)
+        inp = jnp.concatenate([x, cond.astype(x.dtype)], axis=-1) if cond is not None else x
+        return model_fn(inp, timesteps=t_vec, **model_kwargs)
+
+    def drift_terms(x, t):
+        v = velocity(x, t).astype(jnp.float32)
+        t_vec = jnp.full((b,), t, dtype=jnp.float32)
+        score = transport.score_from_velocity(v, x.astype(jnp.float32), t_vec)
+        w = plan.compute_diffusion(x, 1.0 - t_vec, form=diffusion_form, norm=diffusion_norm)
+        return v, score, w
+
+    pairs = jnp.stack([timesteps[:-1], timesteps[1:]], axis=1)
+    keys = jax.random.split(key, pairs.shape[0])
+
+    def step(x, inputs):
+        pair, k = inputs
+        t_cur, t_next = pair[0], pair[1]
+        ds = t_next - t_cur  # negative
+        v, score, w = drift_terms(x, t_cur)
+        noise = jax.random.normal(k, x.shape, dtype=jnp.float32)
+        x32 = x.astype(jnp.float32)
+        x32 = x32 + (v - w * score) * ds + jnp.sqrt(2 * w * jnp.abs(ds)) * noise
+        return x32.astype(x.dtype), None
+
+    x, _ = jax.lax.scan(step, x, (pairs[:-1], keys[:-1]))
+    # deterministic last step (ref transport.py:276-300): Mean = drift-only
+    t_cur, t_next = pairs[-1][0], pairs[-1][1]
+    if last_step == "Mean":
+        v, score, w = drift_terms(x, t_cur)
+        x = (x.astype(jnp.float32) + (v - w * score) * (t_next - t_cur)).astype(x.dtype)
+    elif last_step == "Euler":
+        v = velocity(x, t_cur).astype(jnp.float32)
+        x = (x.astype(jnp.float32) + v * (t_next - t_cur)).astype(x.dtype)
+    elif last_step is not None:
+        raise NotImplementedError(f"last_step {last_step!r}")
+    return x
+
+
+class Sampler:
+    """Mirrors the reference Sampler API (transport/transport.py:239-410):
+    `sample_ode(...)` returns a closure `sample_fn(x, model_fn, model_kwargs)`.
+
+    The closure builds the (static) timestep grid from x's sequence length,
+    so downstream code can keep the reference's call pattern
+    (visualcloze.py:121-130, 415)."""
+
+    def __init__(self, transport: Transport):
+        self.transport = transport
+
+    def sample_ode(
+        self,
+        *,
+        sampling_method: str = "euler",
+        num_steps: int = 50,
+        atol: float = 1e-6,
+        rtol: float = 1e-3,
+        reverse: bool = False,
+        do_shift: bool = True,
+        time_shifting_factor: float | None = None,
+        strength: float | None = None,
+    ):
+        del atol, rtol  # fixed-step solvers only (euler is the shipped default)
+        if reverse:
+            raise NotImplementedError("reverse sampling is unused by the pipeline")
+
+        def sample_fn(x, model_fn, model_kwargs):
+            kwargs = dict(model_kwargs)
+            cond = kwargs.pop("cond", None)
+            ts = jnp.asarray(
+                ode_timesteps(
+                    num_steps,
+                    int(x.shape[1]),
+                    do_shift=do_shift,
+                    strength=strength,
+                    time_shifting_factor=time_shifting_factor,
+                )
+            )
+            return denoise_ode(model_fn, x, ts, kwargs, cond=cond, method=sampling_method)
+
+        return sample_fn
+
+    def sample_sde(
+        self,
+        *,
+        sampling_method: str = "Euler",
+        diffusion_form: str = "SBDM",
+        diffusion_norm: float = 1.0,
+        last_step: str = "Mean",
+        last_step_size: float = 0.04,
+        num_steps: int = 250,
+    ):
+        del sampling_method, last_step_size
+
+        def sample_fn(x, model_fn, model_kwargs, key):
+            kwargs = dict(model_kwargs)
+            cond = kwargs.pop("cond", None)
+            ts = jnp.asarray(np.linspace(1.0, 0.0, num_steps, dtype=np.float32))
+            return denoise_sde(
+                self.transport, model_fn, key, x, ts, kwargs, cond=cond,
+                diffusion_form=diffusion_form, diffusion_norm=diffusion_norm,
+                last_step=last_step,
+            )
+
+        return sample_fn
