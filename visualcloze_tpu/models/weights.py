@@ -1,0 +1,526 @@
+"""Checkpoint converters: torch/safetensors state dicts <-> parameter pytrees.
+
+TPU-native counterpart of the reference's weight loading
+(models/util.py:384-472 load_flow_model / optionally_expand_state_dict and
+visualcloze.py:111-112 LoRA overlay). Sources handled:
+  - BFL FLUX safetensors (flux1-fill-dev.safetensors naming),
+  - reference-trainer LoRA checkpoints (consolidated*.pth, lora_A/lora_B keys),
+  - BFL VAE (ae.safetensors) and diffusers AutoencoderKL naming,
+  - HF T5EncoderModel and CLIPTextModel state dicts.
+
+Conventions: torch Linear weights are (out, in) -> stored (in, out) here;
+convs are (out, in, kh, kw) -> (kh, kw, in, out); per-block tensors are
+stacked along a leading depth axis for lax.scan.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Mapping
+
+import jax
+import numpy as np
+
+from ..config import AutoEncoderConfig, CLIPTextConfig, FluxConfig, T5Config
+
+Params = dict[str, Any]
+State = Mapping[str, np.ndarray]
+
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):  # torch tensor
+        x = x.detach().to("cpu")
+        if x.dtype.__str__() == "torch.bfloat16":
+            x = x.float()
+        x = x.numpy()
+    return np.asarray(x)
+
+
+def _lin(state: State, key: str, dtype=None) -> Params:
+    w = _np(state[f"{key}.weight"]).T  # (out,in) -> (in,out)
+    p = {"w": w if dtype is None else w.astype(dtype)}
+    bkey = f"{key}.bias"
+    if bkey in state:
+        b = _np(state[bkey])
+        p["b"] = b if dtype is None else b.astype(dtype)
+    return p
+
+
+def _stack(trees: list[Params]) -> Params:
+    return jax.tree.map(lambda *xs: np.stack(xs), *trees)
+
+
+def load_safetensors(path: str) -> dict[str, np.ndarray]:
+    from safetensors import safe_open
+
+    out = {}
+    with safe_open(path, framework="numpy") as f:
+        for k in f.keys():
+            out[k] = f.get_tensor(k)
+    return out
+
+
+# ----------------------------- Flux -----------------------------
+
+_TOP_LINS = {
+    ("img_in",): "img_in",
+    ("txt_in",): "txt_in",
+    ("time_in", "in_layer"): "time_in.in_layer",
+    ("time_in", "out_layer"): "time_in.out_layer",
+    ("vector_in", "in_layer"): "vector_in.in_layer",
+    ("vector_in", "out_layer"): "vector_in.out_layer",
+    ("guidance_in", "in_layer"): "guidance_in.in_layer",
+    ("guidance_in", "out_layer"): "guidance_in.out_layer",
+    ("final_layer", "linear"): "final_layer.linear",
+    ("final_layer", "adaLN"): "final_layer.adaLN_modulation.1",
+}
+
+_DOUBLE_LINS = {
+    ("img_mod", "lin"): "img_mod.lin",
+    ("txt_mod", "lin"): "txt_mod.lin",
+    ("img_attn", "qkv"): "img_attn.qkv",
+    ("img_attn", "proj"): "img_attn.proj",
+    ("txt_attn", "qkv"): "txt_attn.qkv",
+    ("txt_attn", "proj"): "txt_attn.proj",
+    ("img_mlp", "0"): "img_mlp.0",
+    ("img_mlp", "2"): "img_mlp.2",
+    ("txt_mlp", "0"): "txt_mlp.0",
+    ("txt_mlp", "2"): "txt_mlp.2",
+}
+
+_SINGLE_LINS = {
+    ("linear1",): "linear1",
+    ("linear2",): "linear2",
+    ("modulation", "lin"): "modulation.lin",
+}
+
+
+def _set(tree: Params, path: tuple, value) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def convert_flux(state: State, cfg: FluxConfig, dtype=None) -> Params:
+    """BFL/reference torch state dict -> Flux pytree, with the Fill model's
+    img_in zero-expansion (models/util.py:456-472) when the checkpoint's
+    in-features are narrower than cfg.in_channels."""
+    params: Params = {}
+    for path, key in _TOP_LINS.items():
+        if path[0] == "guidance_in" and not cfg.guidance_embed:
+            continue
+        _set(params, path, _lin(state, key, dtype))
+
+    # zero-expand img_in (dev 64ch checkpoint -> fill 384ch model)
+    w = params["img_in"]["w"]
+    if w.shape[0] < cfg.in_channels:
+        expanded = np.zeros((cfg.in_channels, w.shape[1]), dtype=w.dtype)
+        expanded[: w.shape[0]] = w
+        params["img_in"]["w"] = expanded
+
+    def block(i: int, lins: dict, prefix: str, norms: list[str]) -> Params:
+        p: Params = {}
+        for path, key in lins.items():
+            _set(p, path, _lin(state, f"{prefix}.{i}.{key}", dtype))
+        for norm in norms:
+            q = _np(state[f"{prefix}.{i}.{norm}.norm.query_norm.scale"])
+            k = _np(state[f"{prefix}.{i}.{norm}.norm.key_norm.scale"])
+            if dtype is not None:
+                q, k = q.astype(dtype), k.astype(dtype)
+            parent = norm.split(".")
+            _set(p, tuple(parent) + ("norm",), {"q_scale": q, "k_scale": k})
+        return p
+
+    params["double_blocks"] = _stack(
+        [block(i, _DOUBLE_LINS, "double_blocks", ["img_attn", "txt_attn"]) for i in range(cfg.depth)]
+    )
+    params["single_blocks"] = _stack(
+        [
+            {
+                **block(i, _SINGLE_LINS, "single_blocks", []),
+                "norm": {
+                    "q_scale": _np(state[f"single_blocks.{i}.norm.query_norm.scale"]),
+                    "k_scale": _np(state[f"single_blocks.{i}.norm.key_norm.scale"]),
+                },
+            }
+            for i in range(cfg.depth_single_blocks)
+        ]
+    )
+    if dtype is not None:
+        params = jax.tree.map(lambda x: x.astype(dtype), params)
+    return params
+
+
+def flux_to_torch_state(params: Params, cfg: FluxConfig) -> dict[str, np.ndarray]:
+    """Inverse of convert_flux (checkpoint export / roundtrip tests)."""
+    state: dict[str, np.ndarray] = {}
+
+    def put_lin(key: str, p: Params):
+        state[f"{key}.weight"] = np.asarray(p["w"]).T
+        if "b" in p:
+            state[f"{key}.bias"] = np.asarray(p["b"])
+
+    def get(tree, path):
+        for p in path:
+            tree = tree[p]
+        return tree
+
+    for path, key in _TOP_LINS.items():
+        if path[0] == "guidance_in" and not cfg.guidance_embed:
+            continue
+        put_lin(key, get(params, path))
+
+    for i in range(cfg.depth):
+        bp = jax.tree.map(lambda x: np.asarray(x)[i], params["double_blocks"])
+        for path, key in _DOUBLE_LINS.items():
+            put_lin(f"double_blocks.{i}.{key}", get(bp, path))
+        for stream in ("img_attn", "txt_attn"):
+            state[f"double_blocks.{i}.{stream}.norm.query_norm.scale"] = bp[stream]["norm"]["q_scale"]
+            state[f"double_blocks.{i}.{stream}.norm.key_norm.scale"] = bp[stream]["norm"]["k_scale"]
+    for i in range(cfg.depth_single_blocks):
+        bp = jax.tree.map(lambda x: np.asarray(x)[i], params["single_blocks"])
+        for path, key in _SINGLE_LINS.items():
+            put_lin(f"single_blocks.{i}.{key}", get(bp, path))
+        state[f"single_blocks.{i}.norm.query_norm.scale"] = bp["norm"]["q_scale"]
+        state[f"single_blocks.{i}.norm.key_norm.scale"] = bp["norm"]["k_scale"]
+    return state
+
+
+# ----------------------------- LoRA -----------------------------
+
+def _lora_entry(state: State, key: str, dtype=None) -> Params | None:
+    akey = f"{key}.lora_A.weight"
+    if akey not in state:
+        return None
+    entry = {
+        "a": _np(state[akey]).T,  # (r, in) -> (in, r)
+        "b": _np(state[f"{key}.lora_B.weight"]).T,  # (out, r) -> (r, out)
+    }
+    bb = f"{key}.lora_B.bias"
+    if bb in state:
+        entry["b_bias"] = _np(state[bb])
+    if dtype is not None:
+        entry = {k: v.astype(dtype) for k, v in entry.items()}
+    return entry
+
+
+def convert_lora(state: State, cfg: FluxConfig, dtype=None) -> Params:
+    """Reference-trainer LoRA checkpoint (lora_A/lora_B keys, train.py:684-708)
+    -> LoRA pytree mirroring the Flux params structure."""
+    lora: Params = {}
+    for path, key in _TOP_LINS.items():
+        if path[0] == "guidance_in" and not cfg.guidance_embed:
+            continue
+        e = _lora_entry(state, key, dtype)
+        if e is not None:
+            _set(lora, path, e)
+
+    def blocks(n: int, lins: dict, prefix: str) -> Params | None:
+        per = []
+        for i in range(n):
+            p: Params = {}
+            for path, key in lins.items():
+                e = _lora_entry(state, f"{prefix}.{i}.{key}", dtype)
+                if e is not None:
+                    _set(p, path, e)
+            per.append(p)
+        if not any(per):
+            return None
+        return _stack(per)
+
+    d = blocks(cfg.depth, _DOUBLE_LINS, "double_blocks")
+    s = blocks(cfg.depth_single_blocks, _SINGLE_LINS, "single_blocks")
+    if d is not None:
+        lora["double_blocks"] = d
+    if s is not None:
+        lora["single_blocks"] = s
+    return lora
+
+
+def lora_to_torch_state(lora: Params, cfg: FluxConfig) -> dict[str, np.ndarray]:
+    """Export LoRA factors in the reference's checkpoint naming (lora_A/lora_B
+    only — parity with train.py:684-708)."""
+    state: dict[str, np.ndarray] = {}
+
+    def put(key: str, e: Params):
+        state[f"{key}.lora_A.weight"] = np.asarray(e["a"]).T
+        state[f"{key}.lora_B.weight"] = np.asarray(e["b"]).T
+        if "b_bias" in e:
+            state[f"{key}.lora_B.bias"] = np.asarray(e["b_bias"])
+
+    def get(tree, path):
+        for p in path:
+            if not isinstance(tree, dict) or p not in tree:
+                return None
+            tree = tree[p]
+        return tree
+
+    for path, key in _TOP_LINS.items():
+        e = get(lora, path)
+        if e is not None:
+            put(key, e)
+    for prefix, lins, n in (
+        ("double_blocks", _DOUBLE_LINS, cfg.depth),
+        ("single_blocks", _SINGLE_LINS, cfg.depth_single_blocks),
+    ):
+        stacked = lora.get(prefix)
+        if stacked is None:
+            continue
+        for i in range(n):
+            bp = jax.tree.map(lambda x: np.asarray(x)[i], stacked)
+            for path, key in lins.items():
+                e = get(bp, path)
+                if e is not None:
+                    put(f"{prefix}.{i}.{key}", e)
+    return state
+
+
+# ----------------------------- T5 -----------------------------
+
+def convert_t5(state: State, cfg: T5Config, dtype=None) -> Params:
+    """HF T5EncoderModel state dict -> t5.py pytree."""
+    def w(key):
+        x = _np(state[key])
+        return x if dtype is None else x.astype(dtype)
+
+    blocks = []
+    for i in range(cfg.num_layers):
+        p = f"encoder.block.{i}"
+        blocks.append(
+            {
+                "attn": {
+                    "ln": w(f"{p}.layer.0.layer_norm.weight"),
+                    "q": w(f"{p}.layer.0.SelfAttention.q.weight").T,
+                    "k": w(f"{p}.layer.0.SelfAttention.k.weight").T,
+                    "v": w(f"{p}.layer.0.SelfAttention.v.weight").T,
+                    "o": w(f"{p}.layer.0.SelfAttention.o.weight").T,
+                },
+                "ffn": {
+                    "ln": w(f"{p}.layer.1.layer_norm.weight"),
+                    "wi_0": w(f"{p}.layer.1.DenseReluDense.wi_0.weight").T,
+                    "wi_1": w(f"{p}.layer.1.DenseReluDense.wi_1.weight").T,
+                    "wo": w(f"{p}.layer.1.DenseReluDense.wo.weight").T,
+                },
+            }
+        )
+    return {
+        "embed": w("shared.weight"),
+        "relative_attention_bias": w(
+            "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"
+        ),
+        "blocks": _stack(blocks),
+        "final_ln": w("encoder.final_layer_norm.weight"),
+    }
+
+
+# ----------------------------- CLIP -----------------------------
+
+def convert_clip(state: State, cfg: CLIPTextConfig, dtype=None) -> Params:
+    """HF CLIPTextModel state dict -> clip.py pytree."""
+    def w(key):
+        x = _np(state[key])
+        return x if dtype is None else x.astype(dtype)
+
+    def lin(key):
+        p = {"w": w(f"{key}.weight").T, "b": w(f"{key}.bias")}
+        return p
+
+    def ln(key):
+        return {"scale": w(f"{key}.weight"), "bias": w(f"{key}.bias")}
+
+    blocks = []
+    for i in range(cfg.num_layers):
+        p = f"text_model.encoder.layers.{i}"
+        blocks.append(
+            {
+                "ln1": ln(f"{p}.layer_norm1"),
+                "attn": {
+                    "q": lin(f"{p}.self_attn.q_proj"),
+                    "k": lin(f"{p}.self_attn.k_proj"),
+                    "v": lin(f"{p}.self_attn.v_proj"),
+                    "o": lin(f"{p}.self_attn.out_proj"),
+                },
+                "ln2": ln(f"{p}.layer_norm2"),
+                "fc1": lin(f"{p}.mlp.fc1"),
+                "fc2": lin(f"{p}.mlp.fc2"),
+            }
+        )
+    return {
+        "token_embed": w("text_model.embeddings.token_embedding.weight"),
+        "pos_embed": w("text_model.embeddings.position_embedding.weight"),
+        "blocks": _stack(blocks),
+        "final_ln": ln("text_model.final_layer_norm"),
+    }
+
+
+# ----------------------------- VAE -----------------------------
+
+def _conv(state: State, key: str, dtype=None) -> Params:
+    w = _np(state[f"{key}.weight"])
+    if w.ndim == 2:  # diffusers attention projections are Linear
+        w = w[:, :, None, None]
+    w = w.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+    b = _np(state[f"{key}.bias"])
+    if dtype is not None:
+        w, b = w.astype(dtype), b.astype(dtype)
+    return {"w": w, "b": b}
+
+
+def _gn(state: State, key: str, dtype=None) -> Params:
+    s, b = _np(state[f"{key}.weight"]), _np(state[f"{key}.bias"])
+    if dtype is not None:
+        s, b = s.astype(dtype), b.astype(dtype)
+    return {"scale": s, "bias": b}
+
+
+def _resnet(state: State, key: str, dtype=None) -> Params:
+    p = {
+        "norm1": _gn(state, f"{key}.norm1", dtype),
+        "conv1": _conv(state, f"{key}.conv1", dtype),
+        "norm2": _gn(state, f"{key}.norm2", dtype),
+        "conv2": _conv(state, f"{key}.conv2", dtype),
+    }
+    if f"{key}.nin_shortcut.weight" in state:
+        p["nin_shortcut"] = _conv(state, f"{key}.nin_shortcut", dtype)
+    return p
+
+
+def _attn(state: State, key: str, dtype=None) -> Params:
+    return {
+        "norm": _gn(state, f"{key}.norm", dtype),
+        "q": _conv(state, f"{key}.q", dtype),
+        "k": _conv(state, f"{key}.k", dtype),
+        "v": _conv(state, f"{key}.v", dtype),
+        "proj_out": _conv(state, f"{key}.proj_out", dtype),
+    }
+
+
+def normalize_diffusers_vae_keys(state: State) -> dict[str, np.ndarray]:
+    """Map diffusers AutoencoderKL naming onto BFL naming so one converter
+    serves both checkpoint formats (the reference mixes them:
+    visualcloze.py:100 uses diffusers, models/util.py:434-453 uses BFL)."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in state.items():
+        nk = k
+        nk = nk.replace("down_blocks.", "down.")
+        nk = nk.replace("up_blocks.", "up_rev.")  # diffusers reverses decoder order
+        nk = nk.replace(".resnets.", ".block.")
+        nk = nk.replace("downsamplers.0.conv", "downsample.conv")
+        nk = nk.replace("upsamplers.0.conv", "upsample.conv")
+        nk = nk.replace("mid_block.block.0", "mid.block_1")
+        nk = nk.replace("mid_block.block.1", "mid.block_2")
+        nk = nk.replace("mid_block.attentions.0.group_norm", "mid.attn_1.norm")
+        nk = nk.replace("mid_block.attentions.0.to_q", "mid.attn_1.q")
+        nk = nk.replace("mid_block.attentions.0.to_k", "mid.attn_1.k")
+        nk = nk.replace("mid_block.attentions.0.to_v", "mid.attn_1.v")
+        nk = nk.replace("mid_block.attentions.0.to_out.0", "mid.attn_1.proj_out")
+        nk = nk.replace("conv_norm_out", "norm_out")
+        nk = nk.replace("conv_shortcut", "nin_shortcut")
+        out[nk] = v
+    # fix decoder up-block ordering: diffusers up_blocks[0] is the *highest*
+    # resolution last? (diffusers stores them in forward execution order,
+    # BFL indexes by resolution level with up[0] = highest)
+    n_up = len({k.split(".")[2] for k in out if k.startswith("decoder.up_rev.")})
+    final = {}
+    for k, v in out.items():
+        if k.startswith("decoder.up_rev."):
+            parts = k.split(".")
+            parts[2] = str(n_up - 1 - int(parts[2]))
+            k = ".".join(["decoder", "up"] + parts[2:])
+        final[k] = v
+    return final
+
+
+def vae_to_torch_state(params: Params, cfg: AutoEncoderConfig) -> dict[str, np.ndarray]:
+    """Inverse of convert_vae in BFL naming (export / roundtrip tests)."""
+    state: dict[str, np.ndarray] = {}
+
+    def put(key: str, node: Params):
+        if "w" in node:  # conv
+            state[f"{key}.weight"] = np.asarray(node["w"]).transpose(3, 2, 0, 1)
+            state[f"{key}.bias"] = np.asarray(node["b"])
+        else:  # group norm
+            state[f"{key}.weight"] = np.asarray(node["scale"])
+            state[f"{key}.bias"] = np.asarray(node["bias"])
+
+    def put_resnet(key: str, p: Params):
+        for name in ("norm1", "conv1", "norm2", "conv2"):
+            put(f"{key}.{name}", p[name])
+        if "nin_shortcut" in p:
+            put(f"{key}.nin_shortcut", p["nin_shortcut"])
+
+    def put_attn(key: str, p: Params):
+        for name in ("norm", "q", "k", "v", "proj_out"):
+            put(f"{key}.{name}", p[name])
+
+    for side in ("encoder", "decoder"):
+        p = params[side]
+        put(f"{side}.conv_in", p["conv_in"])
+        put_resnet(f"{side}.mid.block_1", p["mid"]["block_1"])
+        put_attn(f"{side}.mid.attn_1", p["mid"]["attn_1"])
+        put_resnet(f"{side}.mid.block_2", p["mid"]["block_2"])
+        put(f"{side}.norm_out", p["norm_out"])
+        put(f"{side}.conv_out", p["conv_out"])
+    for i, level in enumerate(params["encoder"]["down"]):
+        for j, bp in enumerate(level["block"]):
+            put_resnet(f"encoder.down.{i}.block.{j}", bp)
+        if "downsample" in level:
+            put(f"encoder.down.{i}.downsample.conv", level["downsample"]["conv"])
+    for i, level in enumerate(params["decoder"]["up"]):
+        for j, bp in enumerate(level["block"]):
+            put_resnet(f"decoder.up.{i}.block.{j}", bp)
+        if "upsample" in level:
+            put(f"decoder.up.{i}.upsample.conv", level["upsample"]["conv"])
+    return state
+
+
+def convert_vae(state: State, cfg: AutoEncoderConfig, dtype=None) -> Params:
+    """BFL ae.safetensors naming -> autoencoder pytree. For diffusers
+    checkpoints run normalize_diffusers_vae_keys first."""
+    if any("down_blocks" in k or "mid_block" in k for k in state):
+        state = normalize_diffusers_vae_keys(state)
+    n_levels = len(cfg.ch_mult)
+    enc: Params = {
+        "conv_in": _conv(state, "encoder.conv_in", dtype),
+        "down": [],
+        "mid": {
+            "block_1": _resnet(state, "encoder.mid.block_1", dtype),
+            "attn_1": _attn(state, "encoder.mid.attn_1", dtype),
+            "block_2": _resnet(state, "encoder.mid.block_2", dtype),
+        },
+        "norm_out": _gn(state, "encoder.norm_out", dtype),
+        "conv_out": _conv(state, "encoder.conv_out", dtype),
+    }
+    for i in range(n_levels):
+        level: Params = {
+            "block": [
+                _resnet(state, f"encoder.down.{i}.block.{j}", dtype)
+                for j in range(cfg.num_res_blocks)
+            ]
+        }
+        if f"encoder.down.{i}.downsample.conv.weight" in state:
+            level["downsample"] = {"conv": _conv(state, f"encoder.down.{i}.downsample.conv", dtype)}
+        enc["down"].append(level)
+
+    dec: Params = {
+        "conv_in": _conv(state, "decoder.conv_in", dtype),
+        "mid": {
+            "block_1": _resnet(state, "decoder.mid.block_1", dtype),
+            "attn_1": _attn(state, "decoder.mid.attn_1", dtype),
+            "block_2": _resnet(state, "decoder.mid.block_2", dtype),
+        },
+        "norm_out": _gn(state, "decoder.norm_out", dtype),
+        "conv_out": _conv(state, "decoder.conv_out", dtype),
+        "up": [],
+    }
+    for i in range(n_levels):
+        level = {
+            "block": [
+                _resnet(state, f"decoder.up.{i}.block.{j}", dtype)
+                for j in range(cfg.num_res_blocks + 1)
+            ]
+        }
+        if f"decoder.up.{i}.upsample.conv.weight" in state:
+            level["upsample"] = {"conv": _conv(state, f"decoder.up.{i}.upsample.conv", dtype)}
+        dec["up"].append(level)
+    return {"encoder": enc, "decoder": dec}
