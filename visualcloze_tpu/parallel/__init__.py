@@ -1,0 +1,22 @@
+from .mesh import (
+    AXES,
+    auto_mesh,
+    batch_sharding,
+    create_mesh,
+    initialize_distributed,
+    replicated,
+)
+from .sharding import (
+    constrain_batch,
+    flux_param_spec,
+    make_flux_shardings,
+    replicate_tree,
+    shard_params,
+)
+
+__all__ = [
+    "AXES", "auto_mesh", "batch_sharding", "create_mesh",
+    "initialize_distributed", "replicated",
+    "constrain_batch", "flux_param_spec", "make_flux_shardings",
+    "replicate_tree", "shard_params",
+]

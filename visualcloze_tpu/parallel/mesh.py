@@ -1,0 +1,65 @@
+"""Device mesh construction.
+
+TPU-native replacement for the reference's process-group zoo
+(util/parallel.py:43-92: NCCL world group, fairscale dp/mp groups, intra-node
+and inter-node groups — SURVEY.md §2.9 items 2, 5, 6). One
+jax.sharding.Mesh with axes (dp, fsdp, tp) subsumes them all:
+  - dp:   pure data parallelism (reference: fairscale DP group),
+  - fsdp: parameter/optimizer sharding (reference: FSDP FULL_SHARD),
+  - tp:   tensor parallelism (reference: scaffolding only, size 1 —
+          first-class here because GSPMD gives it by annotation).
+Axis order is ICI-friendly: tp innermost (highest-bandwidth neighbor links),
+dp outermost (maps to DCN when multi-slice).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXES = ("dp", "fsdp", "tp")
+
+
+def create_mesh(
+    dp: int = 1,
+    fsdp: int = 1,
+    tp: int = 1,
+    devices: list | None = None,
+) -> Mesh:
+    """Build a (dp, fsdp, tp) mesh over the given (default: all) devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = dp * fsdp * tp
+    if n > len(devices):
+        raise ValueError(f"mesh {dp}x{fsdp}x{tp}={n} exceeds {len(devices)} devices")
+    arr = np.asarray(devices[:n]).reshape(dp, fsdp, tp)
+    return Mesh(arr, AXES)
+
+
+def auto_mesh(n_devices: int | None = None, mode: str = "inference") -> Mesh:
+    """Sensible defaults: inference -> all-tp on one slice (latency),
+    training -> all-fsdp (reference parity: FSDP FULL_SHARD)."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    if mode == "inference":
+        return create_mesh(tp=n, devices=devices)
+    return create_mesh(fsdp=n, devices=devices)
+
+
+def initialize_distributed() -> None:
+    """Multi-host bootstrap (replaces torch.distributed NCCL init,
+    util/parallel.py:13-48). No-op on single-host."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch split over dp and fsdp axes (FSDP also consumes batch, matching
+    torch FSDP's data-parallel semantics)."""
+    return NamedSharding(mesh, P(("dp", "fsdp")))

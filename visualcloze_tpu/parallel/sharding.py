@@ -1,0 +1,146 @@
+"""GSPMD sharding rules for Flux parameters and activations.
+
+TPU-native replacement for torch FSDP FULL_SHARD / SHARD_GRAD_OP
+(train.py:152-185, SURVEY.md §2.9 items 3-4): instead of runtime parameter
+flattening + NCCL all-gathers, each weight carries a NamedSharding and XLA
+inserts the all-gather/reduce-scatter schedule.
+
+Rules (megatron-style TP + FSDP, composable on one mesh):
+  - column-parallel (output-dim tp): qkv, linear1, mlp "0" layers,
+  - row-parallel (input-dim tp): attention proj, linear2, mlp "2" layers,
+  - everything else: tp-replicated,
+  - fsdp shards the remaining large dim of every 2D+ weight,
+  - 1D params (biases of row-parallel + norms) replicated; column-parallel
+    biases follow their output sharding.
+
+The reference has no working TP (model_parallel_size=1 scaffolding,
+util/parallel.py:48) — here it falls out of the same annotations.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Params = dict[str, Any]
+
+# path suffixes (module, leaf-parent) classifying linears
+_COLUMN_KEYS = ("qkv", "linear1")
+_ROW_KEYS = ("proj", "linear2")
+
+
+def _classify(path: tuple[str, ...]) -> str:
+    """-> 'column' | 'row' | 'other' for a linear's parent path."""
+    for key in path:
+        if key in _COLUMN_KEYS:
+            return "column"
+        if key in _ROW_KEYS:
+            return "row"
+    # mlp Sequential naming: img_mlp/txt_mlp {"0": in-proj, "2": out-proj}
+    for a, b in zip(path, path[1:]):
+        if a in ("img_mlp", "txt_mlp"):
+            return "column" if b == "0" else "row"
+    return "other"
+
+
+def _path_keys(key_path) -> tuple[str, ...]:
+    keys = []
+    for k in key_path:
+        if hasattr(k, "key"):
+            keys.append(str(k.key))
+        elif hasattr(k, "idx"):
+            keys.append(str(k.idx))
+        else:
+            keys.append(str(k))
+    return tuple(keys)
+
+
+def _divisible(dim: int, mesh: Mesh, axis: str) -> bool:
+    return mesh.shape[axis] > 0 and dim % mesh.shape[axis] == 0
+
+
+def flux_param_spec(key_path, leaf, mesh: Mesh) -> P:
+    """PartitionSpec for one Flux parameter leaf.
+
+    Weight layouts: top-level w (in, out); stacked block w (depth, in, out);
+    biases (out,) or (depth, out); norm scales 1D/2D.
+    """
+    path = _path_keys(key_path)
+    kind = _classify(path)
+    leaf_name = path[-1]
+    stacked = path[0] in ("double_blocks", "single_blocks")
+    shape = leaf.shape
+
+    fsdp = "fsdp" if mesh.shape["fsdp"] > 1 else None
+    tp = "tp" if mesh.shape["tp"] > 1 else None
+
+    if leaf_name == "w":
+        in_dim, out_dim = shape[-2], shape[-1]
+        spec: list = [None] * len(shape)
+        if kind == "column":
+            if tp and _divisible(out_dim, mesh, "tp"):
+                spec[-1] = tp
+            if fsdp and _divisible(in_dim, mesh, "fsdp"):
+                spec[-2] = fsdp
+        elif kind == "row":
+            if tp and _divisible(in_dim, mesh, "tp"):
+                spec[-2] = tp
+            if fsdp and _divisible(out_dim, mesh, "fsdp"):
+                spec[-1] = fsdp
+        else:
+            # fsdp only, on the biggest divisible dim
+            if fsdp and _divisible(in_dim, mesh, "fsdp"):
+                spec[-2] = fsdp
+            elif fsdp and _divisible(out_dim, mesh, "fsdp"):
+                spec[-1] = fsdp
+        return P(*spec)
+
+    if leaf_name in ("b", "b_bias"):
+        spec = [None] * len(shape)
+        if kind == "column" and tp and _divisible(shape[-1], mesh, "tp"):
+            spec[-1] = tp
+        return P(*spec)
+
+    if leaf_name == "a":  # lora A (in, r): follow fsdp on in-dim
+        spec = [None] * len(shape)
+        if fsdp and _divisible(shape[-2], mesh, "fsdp"):
+            spec[-2] = fsdp
+        return P(*spec)
+
+    # norm scales and anything else: replicated
+    del stacked
+    return P(*([None] * len(shape)))
+
+
+def make_flux_shardings(params: Params, mesh: Mesh) -> Params:
+    """Pytree of NamedShardings matching `params` (also fits LoRA trees:
+    lora 'b' factors (r, out) follow column bias rules via leaf names)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda kp, leaf: NamedSharding(mesh, flux_param_spec(kp, leaf, mesh)), params
+    )
+
+
+def shard_params(params: Params, mesh: Mesh) -> Params:
+    """Place (or re-place) a parameter pytree onto the mesh."""
+    shardings = make_flux_shardings(params, mesh)
+    return jax.tree.map(jax.device_put, params, shardings)
+
+
+def replicate_tree(tree: Params, mesh: Mesh) -> Params:
+    rep = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
+
+
+def activation_spec(mesh: Mesh) -> P:
+    """(B, L, D) activations: batch over (dp, fsdp)."""
+    return P(("dp", "fsdp"))
+
+
+def constrain_batch(x, mesh: Mesh):
+    if mesh.shape["dp"] * mesh.shape["fsdp"] > 1:
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(("dp", "fsdp")))
+        )
+    return x
