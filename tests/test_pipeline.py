@@ -1,0 +1,136 @@
+"""End-to-end pipeline tests on a tiny random model: the full
+preprocess -> encode -> pack -> denoise -> decode -> crop path."""
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from visualcloze_tpu.pipeline import random_components
+from visualcloze_tpu.pipeline.preprocessing import (
+    center_crop,
+    image_to_array,
+    array_to_image,
+    preprocess_grid,
+    resize_with_aspect_ratio,
+)
+
+
+def make_img(w, h, color=(128, 64, 200)):
+    return Image.new("RGB", (w, h), color)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return random_components(jax.random.PRNGKey(0), tiny=True, resolution=64, attn_impl="xla")
+
+
+# ----------------------------- preprocessing -----------------------------
+
+def test_resize_with_aspect_ratio_area_and_divisibility():
+    img = make_img(640, 480)
+    out = resize_with_aspect_ratio(img, 384)
+    assert out.width % 16 == 0 and out.height % 16 == 0
+    area = out.width * out.height
+    assert 0.8 * 384 ** 2 <= area <= 1.2 * 384 ** 2
+    assert abs(out.width / out.height - 640 / 480) < 0.15
+
+
+def test_center_crop():
+    img = make_img(100, 60)
+    out = center_crop(img, (50, 40))
+    assert out.size == (50, 40)
+
+
+def test_image_array_roundtrip():
+    img = make_img(32, 16, (10, 128, 250))
+    arr = image_to_array(img)
+    assert arr.shape == (16, 32, 3)
+    assert arr.min() >= -1 and arr.max() <= 1
+    back = array_to_image((arr + 1) / 2)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(img), atol=1)
+
+
+def test_preprocess_grid_2x2_with_masked_query():
+    images = [
+        [make_img(64, 64), make_img(64, 64)],
+        [make_img(64, 64), None],
+    ]
+    processed, mask_position, target_size, upsampling_size = preprocess_grid(images, 2, 2, 64)
+    assert len(processed) == 4
+    assert mask_position == [0, 1]
+    assert target_size is not None and upsampling_size == (64, 64)
+    sizes = {img.size for img in processed}
+    assert len(sizes) == 1  # every cell normalized to the same size
+
+
+def test_preprocess_grid_missing_context_raises():
+    images = [[None, make_img(64, 64)], [make_img(64, 64), make_img(64, 64)]]
+    with pytest.raises(ValueError):
+        preprocess_grid(images, 2, 2, 64)
+
+
+# ----------------------------- end to end -----------------------------
+
+def test_process_images_2x1_grid(model):
+    """Depth-to-image-style task: 1 context row (2 cells), query row with the
+    target masked."""
+    model.set_grid_size(2, 2)
+    images = [
+        [make_img(64, 64, (255, 0, 0)), make_img(64, 64, (0, 255, 0))],
+        [make_img(64, 64, (0, 0, 255)), None],
+    ]
+    prompts = ["grid layout", "task", "The content of the last image in the final row is: x"]
+    out = model.process_images(
+        images, prompts, seed=7, cfg=4.0, steps=3, is_upsampling=False
+    )
+    assert len(out) == 1
+    assert isinstance(out[0], Image.Image)
+    # output cell matches the query row's cell size
+    assert out[0].width % 16 == 0 and out[0].height % 16 == 0
+    assert np.isfinite(np.asarray(out[0], dtype=np.float32)).all()
+
+
+def test_process_images_deterministic_given_seed(model):
+    model.set_grid_size(1, 2)
+    images = [[make_img(64, 64, (10, 20, 30)), None]]
+    prompts = ["layout", "task", "content"]
+    a = model.process_images(images, prompts, seed=3, steps=2, is_upsampling=False)[0]
+    b = model.process_images(images, prompts, seed=3, steps=2, is_upsampling=False)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = model.process_images(images, prompts, seed=4, steps=2, is_upsampling=False)[0]
+    assert np.asarray(c).astype(int).sum() != np.asarray(a).astype(int).sum()
+
+
+def test_upsampling_path(model):
+    model.set_grid_size(1, 2)
+    images = [[make_img(64, 64), None]]
+    prompts = ["layout", "task", "In the last row, a blue square"]
+    out = model.process_images(
+        images, prompts, seed=5, steps=2,
+        upsampling_steps=2, upsampling_noise=0.4, is_upsampling=True,
+    )
+    assert len(out) == 1
+    # SDEdit upsampling resizes toward the original query size (<= 1024^2, /16)
+    assert out[0].width % 16 == 0
+
+
+def test_upsampling_noise_1_skips_sdedit(model):
+    img = make_img(64, 48)
+    out = model.upsampling(
+        img, (64, 48), cfg=4.0, upsampling_steps=2, upsampling_noise=1.0,
+        key=jax.random.PRNGKey(0), content_prompt="x",
+    )
+    assert out.size == (64, 48)
+
+
+def test_multi_masked_cells(model):
+    """Two masked query cells -> two outputs (multi-mask width normalization)."""
+    model.set_grid_size(2, 3)
+    images = [
+        [make_img(64, 64), make_img(64, 64), make_img(64, 64)],
+        [make_img(64, 64), None, None],
+    ]
+    prompts = ["layout", "task", "content"]
+    out = model.process_images(images, prompts, seed=9, steps=2, is_upsampling=False)
+    assert len(out) == 2

@@ -82,7 +82,11 @@ class AutoEncoderConfig:
         return 2 ** (len(self.ch_mult) - 1)
 
     def tiny(self) -> "AutoEncoderConfig":
-        return dataclasses.replace(self, ch=16, ch_mult=(1, 2), num_res_blocks=1, z_channels=4)
+        # keeps the real 8x downsample factor (the grid pipeline's packing
+        # math assumes /8 latents + /16 tokens, like the reference)
+        return dataclasses.replace(
+            self, ch=16, ch_mult=(1, 1, 1, 1), num_res_blocks=1, z_channels=4
+        )
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,5 @@
+from .visualcloze import VisualClozeModel
+from .loader import build_visualcloze, random_components
+from . import preprocessing
+
+__all__ = ["VisualClozeModel", "build_visualcloze", "random_components", "preprocessing"]

@@ -1,0 +1,202 @@
+"""Component loading: checkpoints -> a ready VisualClozeModel.
+
+TPU-native counterpart of the reference's model loading
+(models/util.py:384-431 load_flow_model/load_t5/load_clip +
+visualcloze.py:79-139): base FLUX safetensors with img_in zero-expansion,
+LoRA overlay (folded into the weights here — models/lora.fold_lora), VAE and
+text encoders, optional mesh sharding.
+
+Offline-friendly: every path can come from env vars (FLUX_DEV_FILL, AE,
+T5_PATH, CLIP_PATH — the reference's env override convention), and
+`random_components` builds a randomly-initialized stack for tests/benchmarks.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (
+    AutoEncoderConfig,
+    CLIPTextConfig,
+    FluxConfig,
+    T5Config,
+    checkpoint_path_env,
+    configs,
+)
+from ..models import weights as W
+from ..models.autoencoder import AutoEncoder, init_autoencoder
+from ..models.clip import init_clip
+from ..models.conditioner import TextEncoder, default_tokenizer
+from ..models.flux import init_flux
+from ..models.lora import fold_lora, init_lora
+from ..models.t5 import init_t5
+from ..parallel import shard_params
+from .visualcloze import VisualClozeModel
+
+
+def load_torch_checkpoint(path: str) -> dict[str, np.ndarray]:
+    """Load a .pth (torch) or .safetensors state dict as numpy arrays."""
+    if path.endswith(".safetensors"):
+        return W.load_safetensors(path)
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(state, dict) and "state_dict" in state:
+        state = state["state_dict"]
+    return {k: W._np(v) for k, v in state.items()}
+
+
+def load_sharded_safetensors(directory: str) -> dict[str, np.ndarray]:
+    """Merge all *.safetensors shards in a directory (HF snapshot layout)."""
+    state: dict[str, np.ndarray] = {}
+    for path in sorted(glob.glob(os.path.join(directory, "*.safetensors"))):
+        state.update(W.load_safetensors(path))
+    if not state:
+        raise FileNotFoundError(f"no safetensors found under {directory}")
+    return state
+
+
+def load_flux_params(
+    model_name: str,
+    lora_path: str | None = None,
+    lora_scale: float = 1.0,
+    dtype=jnp.bfloat16,
+) -> tuple[FluxConfig, dict]:
+    """Base weights + optional LoRA overlay, folded (ref visualcloze.py:105-112)."""
+    spec = configs[model_name]
+    base_path = checkpoint_path_env(model_name)
+    if base_path is None or not os.path.exists(base_path):
+        raise FileNotFoundError(
+            f"set {model_name}'s checkpoint env var (e.g. FLUX_DEV_FILL) to a local safetensors file"
+        )
+    state = W.load_safetensors(base_path)
+    params = W.convert_flux(state, spec.flux, dtype=np.float32)
+    if lora_path:
+        lora_state = load_torch_checkpoint(lora_path)
+        lora = W.convert_lora(lora_state, spec.flux, dtype=np.float32)
+        params = fold_lora(params, lora, scale=lora_scale)
+    params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+    return spec.flux, params
+
+
+def load_ae(dtype=jnp.bfloat16) -> AutoEncoder:
+    cfg = AutoEncoderConfig()
+    path = os.environ.get("AE")
+    if path is None or not os.path.exists(path):
+        raise FileNotFoundError("set AE env var to a local VAE safetensors file")
+    state = W.load_safetensors(path)
+    params = W.convert_vae(state, cfg, dtype=None)
+    params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+    return AutoEncoder(cfg, params)
+
+
+def load_t5(max_length: int = 512, dtype=jnp.bfloat16) -> TextEncoder:
+    cfg = T5Config(max_length=max_length)
+    directory = os.environ.get("T5_PATH")
+    if directory is None or not os.path.isdir(directory):
+        raise FileNotFoundError("set T5_PATH env var to a local T5-XXL snapshot dir")
+    state = load_sharded_safetensors(directory)
+    params = W.convert_t5(state, cfg)
+    params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+    return TextEncoder("t5", cfg, params, default_tokenizer("t5", directory), max_length)
+
+
+def load_clip(dtype=jnp.bfloat16) -> TextEncoder:
+    cfg = CLIPTextConfig()
+    directory = os.environ.get("CLIP_PATH")
+    if directory is None or not os.path.isdir(directory):
+        raise FileNotFoundError("set CLIP_PATH env var to a local CLIP-L snapshot dir")
+    state = load_sharded_safetensors(directory)
+    params = W.convert_clip(state, cfg)
+    params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+    return TextEncoder("clip", cfg, params, default_tokenizer("clip", directory), cfg.max_length)
+
+
+def build_visualcloze(
+    model_path: str | None = None,
+    model_name: str = "flux-dev-fill-lora",
+    max_length: int = 512,
+    lora_rank: int = 256,
+    solver: str = "euler",
+    time_shifting_factor: float = 1.0,
+    resolution: int = 384,
+    mesh=None,
+    dtype=jnp.bfloat16,
+    attn_impl: str = "auto",
+) -> VisualClozeModel:
+    """Reference-parity constructor (visualcloze.py:79-139 signature).
+
+    model_path: the trained VisualCloze LoRA checkpoint (.pth/.safetensors).
+    """
+    del lora_rank  # rank is read from the checkpoint shapes
+    flux_cfg, params = load_flux_params(model_name, lora_path=model_path, dtype=dtype)
+    if mesh is not None:
+        params = shard_params(params, mesh)
+    return VisualClozeModel(
+        flux_cfg,
+        params,
+        load_ae(dtype),
+        load_t5(max_length, dtype),
+        load_clip(dtype),
+        resolution=resolution,
+        solver=solver,
+        time_shifting_factor=time_shifting_factor,
+        attn_impl=attn_impl,
+    )
+
+
+def random_components(
+    key: jax.Array,
+    tiny: bool = True,
+    dtype=jnp.float32,
+    resolution: int = 384,
+    attn_impl: str = "auto",
+    mesh=None,
+) -> VisualClozeModel:
+    """Randomly initialized pipeline (tests, benchmarks, offline demos)."""
+    flux_cfg = FluxConfig().tiny() if tiny else FluxConfig()
+    ae_cfg = AutoEncoderConfig().tiny() if tiny else AutoEncoderConfig()
+    t5_cfg = T5Config().tiny() if tiny else T5Config()
+    clip_cfg = CLIPTextConfig().tiny() if tiny else CLIPTextConfig()
+    if tiny:
+        # tiny flux must still consume 16-ch latents + 256-ch mask: in=384
+        # stays structural only for the full model; tiny uses the real ratios
+        import dataclasses
+
+        flux_cfg = dataclasses.replace(
+            flux_cfg,
+            in_channels=4 * ae_cfg.z_channels + 256 + 4 * ae_cfg.z_channels,
+            out_channels=4 * ae_cfg.z_channels,
+            vec_in_dim=clip_cfg.hidden_size,
+            context_in_dim=t5_cfg.d_model,
+        )
+    ks = jax.random.split(key, 4)
+    params = init_flux(ks[0], flux_cfg, dtype=dtype)
+    ae = AutoEncoder(ae_cfg, init_autoencoder(ks[1], ae_cfg, dtype=dtype))
+    t5 = TextEncoder(
+        "t5", t5_cfg, init_t5(ks[2], t5_cfg, dtype=dtype), default_tokenizer("t5", None)
+        if not tiny else _tiny_tokenizer(t5_cfg.vocab_size),
+        t5_cfg.max_length,
+    )
+    clip = TextEncoder(
+        "clip", clip_cfg, init_clip(ks[3], clip_cfg, dtype=dtype),
+        _tiny_tokenizer(clip_cfg.vocab_size) if tiny else default_tokenizer("clip", None),
+        clip_cfg.max_length,
+    )
+    if mesh is not None:
+        params = shard_params(params, mesh)
+    return VisualClozeModel(
+        flux_cfg, params, ae, t5, clip, resolution=resolution, attn_impl=attn_impl
+    )
+
+
+def _tiny_tokenizer(vocab_size: int):
+    from ..models.conditioner import FallbackTokenizer
+
+    return FallbackTokenizer(vocab_size)

@@ -1,0 +1,307 @@
+"""VisualClozeModel: the end-to-end inference pipeline.
+
+TPU-native counterpart of the reference pipeline (visualcloze.py:78-467):
+grid preprocessing -> VAE encode -> token packing -> jit-compiled rectified
+flow denoise -> decode -> crop -> optional SDEdit upsampling.
+
+TPU-first design points:
+  - the denoise loop is one compiled lax.scan program per (seq_len, steps)
+    bucket; LoRA is folded into the weights at load time so the hot loop runs
+    dense bf16 matmuls (models/lora.fold_lora),
+  - VAE encode/decode and text encoders are jitted and cached per shape,
+  - an optional (dp, fsdp, tp) mesh shards the DiT for multi-chip serving
+    (the 12B model does not fit one v5e chip in bf16 — SURVEY.md §7),
+  - seeded noise uses JAX PRNG (bitwise torch parity is impossible; fidelity
+    is validated via injected-latent tests instead — SURVEY.md §7 RNG parity).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ..config import AutoEncoderConfig, CLIPTextConfig, FluxConfig, T5Config, configs
+from ..models.autoencoder import AutoEncoder
+from ..models.flux import flux_apply
+from ..models.sampling import prepare_modified
+from ..ops.packing import pack_mask, patchify, unpatchify
+from ..ops.schedule import ode_timesteps
+from ..transport.sampling import denoise_ode
+from . import preprocessing as pp
+
+CONTENT_INSTRUCTIONS = [
+    "The content of the last image in the final row is: ",
+    "The last image of the last row depicts: ",
+    "In the final row, the last image shows: ",
+    "The last image in the bottom row illustrates: ",
+    "The content of the bottom-right image is: ",
+    "The final image in the last row portrays: ",
+    "The last image of the final row displays: ",
+    "In the last row, the final image captures: ",
+    "The bottom-right corner image presents: ",
+    "The content of the last image in the concluding row is: ",
+    "In the last row, ",
+    "The editing instruction in the last row is: ",
+]
+
+
+class VisualClozeModel:
+    """API parity with the reference VisualClozeModel (visualcloze.py:79-145):
+    construct, set_grid_size, process_images, upsampling.
+
+    Components (flux params with LoRA already folded, AutoEncoder, text
+    encoders) are injected or loaded via pipeline.loader.load_components.
+    """
+
+    def __init__(
+        self,
+        flux_cfg: FluxConfig,
+        flux_params: dict,
+        ae: AutoEncoder,
+        t5,
+        clip,
+        *,
+        resolution: int = 384,
+        solver: str = "euler",
+        time_shifting_factor: float = 1.0,
+        attn_impl: str = "auto",
+        max_length: int = 512,
+    ):
+        self.cfg = flux_cfg
+        self.params = flux_params
+        self.ae = ae
+        self.t5 = t5
+        self.clip = clip
+        self.resolution = resolution
+        self.solver = solver
+        self.time_shifting_factor = time_shifting_factor
+        self.attn_impl = attn_impl
+        self.max_length = max_length
+        self.grid_h: int | None = None
+        self.grid_w: int | None = None
+
+        self._encode_jit = jax.jit(lambda p, x, k: self._ae_with(p).encode(x, key=k))
+        self._decode_jit = jax.jit(lambda p, z: self._ae_with(p).decode(z))
+        self._denoise_jit = jax.jit(
+            functools.partial(_denoise, self.cfg, attn_impl=self.attn_impl),
+            static_argnames=("method",),
+        )
+
+    def _ae_with(self, params):
+        return AutoEncoder(self.ae.cfg, params)
+
+    # ----------------------------- public API -----------------------------
+
+    def set_grid_size(self, h: int, w: int) -> None:
+        self.grid_h = h
+        self.grid_w = w
+
+    def encode_row(self, row_img: np.ndarray, key: jax.Array) -> jnp.ndarray:
+        """(H, W, 3) [-1,1] pixels -> (1, H/8, W/8, 16) scaled latent."""
+        return self._encode_jit(self.ae.params, jnp.asarray(row_img)[None], key)
+
+    def decode_latent(self, z: jnp.ndarray) -> np.ndarray:
+        """(1, h, w, 16) scaled latent -> (H, W, 3) pixels in [0,1]."""
+        x = self._decode_jit(self.ae.params, z)
+        return np.asarray((np.asarray(x[0], np.float32) + 1.0) / 2.0)
+
+    def process_images(
+        self,
+        images: list[list[Image.Image | None]],
+        prompts: Sequence[str],
+        seed: int = 0,
+        cfg: float = 30.0,
+        steps: int = 30,
+        upsampling_steps: int = 10,
+        upsampling_noise: float = 0.4,
+        is_upsampling: bool = True,
+    ) -> list[Image.Image]:
+        """Generate the masked query cells (ref visualcloze.py:247-467)."""
+        if seed == 0:
+            seed = int(np.random.randint(0, 2 ** 31 - 1))
+        key = jax.random.PRNGKey(seed)
+
+        grid_h, grid_w = self.grid_h, self.grid_w
+        assert grid_h is not None and grid_w is not None, "call set_grid_size first"
+
+        processed, mask_position, target_size, upsampling_size = pp.preprocess_grid(
+            images, grid_h, grid_w, self.resolution
+        )
+        row_images, row_masks = pp.build_grid_rows(processed, mask_position, grid_h, grid_w)
+
+        # VAE-encode each row; pack cond latent + mask -> img_cond (1, L, 320)
+        cond_tokens, mask_tokens, noise_rows, sizes = [], [], [], []
+        for i, (row, mask) in enumerate(zip(row_images, row_masks)):
+            key, ek, nk = jax.random.split(key, 3)
+            lat = self.encode_row(row, ek)  # (1, h, w, 16)
+            cond_tokens.append(patchify(lat.astype(jnp.bfloat16))[0])
+            mask_tokens.append(pack_mask(jnp.asarray(mask)[None].astype(jnp.bfloat16))[0])
+            h, w = row.shape[:2]
+            sizes.append((h, w))
+            noise = jax.random.normal(nk, lat.shape, dtype=jnp.float32)
+            noise_rows.append(noise.astype(jnp.bfloat16))
+        img_cond = jnp.concatenate(
+            [jnp.concatenate(cond_tokens, axis=0), jnp.concatenate(mask_tokens, axis=0)],
+            axis=-1,
+        )[None]
+
+        inp = prepare_modified(
+            self.t5, self.clip, [noise_rows], [" ".join(prompts)], proportion_empty_prompts=0.0
+        )
+
+        ts = jnp.asarray(
+            ode_timesteps(
+                steps,
+                int(inp["img"].shape[1]),
+                do_shift=True,
+                time_shifting_factor=self.time_shifting_factor,
+            )
+        )
+        samples = self._denoise_jit(
+            self.params,
+            inp["img"].astype(jnp.bfloat16),
+            ts,
+            img_cond,
+            inp["txt"].astype(jnp.bfloat16),
+            inp["txt_ids"],
+            inp["txt_mask"],
+            inp["vec"].astype(jnp.bfloat16),
+            inp["img_ids"],
+            inp["img_mask"],
+            jnp.full((1,), cfg, jnp.bfloat16),
+            method=self.solver,
+        )
+
+        # split per row, decode (ref visualcloze.py:419-434)
+        output_rows = []
+        start = 0
+        for (h, w) in sizes:
+            end = start + (h * w // 256)
+            row_tok = samples[:, start:end]
+            lat = unpatchify(row_tok, h // 8, w // 8)
+            output_rows.append(pp.array_to_image(self.decode_latent(lat)))
+            start = end
+
+        # crop masked query cells (ref visualcloze.py:440-465)
+        ret: list[Image.Image] = []
+        last = output_rows[-1]
+        ret_w, ret_h = last.width, last.height
+        for j in range(grid_w):
+            if not mask_position[j]:
+                continue
+            cropped = last.crop((j * ret_w // grid_w, 0, (j + 1) * ret_w // grid_w, ret_h))
+            if is_upsampling:
+                key, uk = jax.random.split(key)
+                ret.append(
+                    self.upsampling(
+                        cropped, upsampling_size, cfg,
+                        upsampling_steps=upsampling_steps,
+                        upsampling_noise=upsampling_noise,
+                        key=uk,
+                        content_prompt=prompts[2],
+                    )
+                )
+            else:
+                ret.append(cropped)
+        return ret
+
+    def upsampling(
+        self,
+        image: Image.Image,
+        target_size: tuple[int, int] | None,
+        cfg: float,
+        upsampling_steps: int,
+        upsampling_noise: float,
+        key: jax.Array,
+        content_prompt: str,
+    ) -> Image.Image:
+        """SDEdit stage-2 refinement (ref visualcloze.py:147-245)."""
+        for c in CONTENT_INSTRUCTIONS:
+            if content_prompt.startswith(c):
+                content_prompt = content_prompt.replace(c, "")
+
+        if target_size is None:
+            target_size = (1024, 1024)
+        if target_size[0] * target_size[1] > 1024 * 1024:
+            aspect_ratio = target_size[0] / target_size[1]
+            new_h = int((1024 * 1024 / aspect_ratio) ** 0.5)
+            target_size = (int(new_h * aspect_ratio), new_h)
+        image = image.resize(((target_size[0] // 16) * 16, (target_size[1] // 16) * 16))
+        if upsampling_noise >= 1.0:
+            return image
+
+        arr = pp.image_to_array(image)
+        key, ek, bk, nk = jax.random.split(key, 4)
+        latent = self.encode_row(arr, ek)
+        blank = self.encode_row(np.zeros_like(arr), bk)
+        h, w = arr.shape[:2]
+        mask = pack_mask(jnp.ones((1, h, w), jnp.bfloat16))
+        latent_tok = patchify(latent.astype(jnp.bfloat16))
+        blank_tok = patchify(blank.astype(jnp.bfloat16))
+        img_cond = jnp.concatenate([blank_tok, mask], axis=-1)
+
+        noise = jax.random.normal(nk, latent.shape, dtype=jnp.float32).astype(jnp.bfloat16)
+        inp = prepare_modified(
+            self.t5, self.clip, [[noise]], [content_prompt], proportion_empty_prompts=0.0
+        )
+        x = inp["img"] * (1.0 - upsampling_noise) + latent_tok * upsampling_noise
+
+        ts = jnp.asarray(
+            ode_timesteps(
+                upsampling_steps,
+                int(x.shape[1]),
+                do_shift=False,
+                strength=upsampling_noise,
+                time_shifting_factor=1.0,
+            )
+        )
+        samples = self._denoise_jit(
+            self.params,
+            x.astype(jnp.bfloat16),
+            ts,
+            img_cond,
+            inp["txt"].astype(jnp.bfloat16),
+            inp["txt_ids"],
+            inp["txt_mask"],
+            inp["vec"].astype(jnp.bfloat16),
+            inp["img_ids"],
+            inp["img_mask"],
+            jnp.full((1,), cfg, jnp.bfloat16),
+            method=self.solver,
+        )
+        lat = unpatchify(samples, h // 8, w // 8)
+        return pp.array_to_image(self.decode_latent(lat))
+
+
+def _denoise(
+    flux_cfg: FluxConfig,
+    params: dict,
+    x: jnp.ndarray,
+    ts: jnp.ndarray,
+    cond: jnp.ndarray,
+    txt: jnp.ndarray,
+    txt_ids: jnp.ndarray,
+    txt_mask: jnp.ndarray,
+    vec: jnp.ndarray,
+    img_ids: jnp.ndarray,
+    img_mask: jnp.ndarray,
+    guidance: jnp.ndarray,
+    method: str = "euler",
+    attn_impl: str = "auto",
+) -> jnp.ndarray:
+    """The compiled hot loop: scan of Euler steps over the full DiT."""
+
+    def model_fn(img, timesteps, **_):
+        return flux_apply(
+            flux_cfg, params,
+            img=img, img_ids=img_ids, txt=txt, txt_ids=txt_ids,
+            timesteps=timesteps, y=vec, txt_mask=txt_mask, img_mask=img_mask,
+            guidance=guidance, attn_impl=attn_impl,
+        )
+
+    return denoise_ode(model_fn, x, ts, {}, cond=cond, method=method)

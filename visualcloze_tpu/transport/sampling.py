@@ -59,11 +59,12 @@ def denoise_ode(
         def step(x, pair):
             t_cur, t_next = pair[0], pair[1]
             v = velocity(x, t_cur)
-            return x + (t_next - t_cur) * v.astype(x.dtype), None
+            dt = (t_next - t_cur).astype(x.dtype)
+            return x + dt * v.astype(x.dtype), None
     elif method == "heun":
         def step(x, pair):
             t_cur, t_next = pair[0], pair[1]
-            dt = t_next - t_cur
+            dt = (t_next - t_cur).astype(x.dtype)
             v1 = velocity(x, t_cur).astype(x.dtype)
             x_mid = x + dt * v1
             v2 = velocity(x_mid, t_next).astype(x.dtype)
