@@ -48,7 +48,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref, *
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (BQ, BK)
-    s = s + bias_ref[0][None, :]  # key-padding bias broadcast over queries
+    s = s + bias_ref[0, 0][None, :]  # key-padding bias broadcast over queries
 
     m_prev = m_ref[:, 0]  # (BQ,)
     m_cur = jnp.max(s, axis=-1)  # (BQ,)
@@ -71,10 +71,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref, *
 
 
 def _pick_block(length: int, preferred: int) -> int:
-    block = min(preferred, length)
+    """Largest power-of-two block (>=128, <=preferred) dividing `length`,
+    assuming length is already a multiple of 128."""
+    block = preferred
     while length % block:
         block //= 2
-    return max(block, 1)
+    return max(block, 128)
 
 
 def _flash_fwd(
@@ -91,19 +93,32 @@ def _flash_fwd(
         bias = jnp.zeros((b, lk), dtype=jnp.float32)
     bias = bias.astype(jnp.float32)
 
-    bq = _pick_block(lq, block_q)
-    bk = _pick_block(lk, block_k)
-    grid = (b, h, lq // bq, lk // bk)
+    # pad sequence dims to a multiple of 128 (TPU lane width): padded keys get
+    # -inf bias, padded query rows are sliced off the output
+    lq_pad = (-lq) % 128
+    lk_pad = (-lk) % 128
+    if lq_pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad), (0, 0)))
+    if lk_pad:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, lk_pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, lk_pad), (0, 0)))
+        bias = jnp.pad(bias, ((0, 0), (0, lk_pad)), constant_values=NEG_INF)
+    lq_p, lk_p = lq + lq_pad, lk + lk_pad
+    bias = bias[:, None, :]  # (B, 1, Lk): TPU-legal block (1, 1, bk)
+
+    bq = _pick_block(lq_p, block_q)
+    bk = _pick_block(lk_p, block_k)
+    grid = (b, h, lq_p // bq, lk_p // bk)
 
     kernel = functools.partial(_flash_kernel, scale=d ** -0.5)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, bq, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0)),
             pl.BlockSpec((1, 1, bk, d), lambda b_, h_, iq, ik: (b_, h_, ik, 0)),
             pl.BlockSpec((1, 1, bk, d), lambda b_, h_, iq, ik: (b_, h_, ik, 0)),
-            pl.BlockSpec((1, bk), lambda b_, h_, iq, ik: (b_, ik)),
+            pl.BlockSpec((1, 1, bk), lambda b_, h_, iq, ik: (b_, 0, ik)),
         ],
         out_specs=pl.BlockSpec((1, 1, bq, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0)),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -116,11 +131,12 @@ def _flash_fwd(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * lq * lk * d,
-            bytes_accessed=(2 * b * h * lq * d + 2 * b * h * lk * d) * q.dtype.itemsize,
-            transcendentals=b * h * lq * lk,
+            flops=4 * b * h * lq_p * lk_p * d,
+            bytes_accessed=(2 * b * h * lq_p * d + 2 * b * h * lk_p * d) * q.dtype.itemsize,
+            transcendentals=b * h * lq_p * lk_p,
         ),
     )(q, k, v, bias)
+    return out[:, :, :lq] if lq_pad else out
 
 
 @jax.custom_vjp
