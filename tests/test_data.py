@@ -1,0 +1,194 @@
+"""Data layer tests: degradations, record validation, sampler, dataset, loader."""
+
+import json
+import random
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from visualcloze_tpu.data import (
+    DataLoader,
+    Graph200KItemProcessor,
+    GridDataset,
+    add_degradation,
+    available_degradations,
+    check_item_graph200k,
+    dataloader_collate_fn,
+    get_train_sampler,
+)
+from visualcloze_tpu.data.prefix_instruction import (
+    degradation_list,
+    get_image_prompt,
+    get_layout_instruction,
+    graph200k_task_dicts,
+    test_task_dicts,
+)
+
+
+# ----------------------------- degradations -----------------------------
+
+def test_all_listed_degradations_implemented():
+    missing = [d for d in degradation_list if d not in available_degradations()]
+    assert not missing, f"missing degradations: {missing}"
+
+
+@pytest.mark.parametrize("deg", sorted(set(degradation_list)))
+def test_degradation_preserves_shape_and_dtype(deg):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (64, 80, 3), dtype=np.uint8)
+    out = add_degradation(img, deg, rng=np.random.default_rng(1))
+    assert out.shape == img.shape
+    assert out.dtype == np.uint8
+
+
+def test_degradation_actually_degrades():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    out = add_degradation(img, "GaussianNoise", rng=np.random.default_rng(1))
+    assert np.abs(out.astype(int) - img.astype(int)).mean() > 1
+
+
+# ----------------------------- registry -----------------------------
+
+def test_task_registry_structure():
+    names = {t["task_name"] for t in graph200k_task_dicts}
+    assert len(graph200k_task_dicts) == 12  # reference has 12 meta-task groups
+    assert "restoration" in names and "conditional generation" in names
+    for t in graph200k_task_dicts:
+        assert t["sample_weight"] > 0
+        for row in t["image_type_list"]:
+            for img_type in row:
+                get_image_prompt(img_type)  # every type resolves to templates
+    assert len(test_task_dicts) >= 6
+
+
+def test_layout_instruction_mentions_counts():
+    random.seed(0)
+    s = get_layout_instruction(3, 2)
+    assert "2" in s and "3" in s and "6" in s
+
+
+# ----------------------------- validation + sampler -----------------------------
+
+def make_record(tmp_path, idx, conds=("canny", "depth"), quality=5):
+    img = Image.fromarray(
+        np.random.default_rng(idx).integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    )
+    cond = {}
+    for name in ("target", "reference", "foreground") + tuple(conds):
+        p = tmp_path / f"{idx}_{name}.png"
+        img.save(p)
+        cond[name] = str(p)
+    return {
+        "condition": cond,
+        "quality_assessment": {"objectConsistency": quality},
+        "description": {"item": f"item{idx}", "description_0": "a thing"},
+    }
+
+
+def test_check_item_graph200k(tmp_path):
+    rec = make_record(tmp_path, 0)
+    assert check_item_graph200k(rec, ["canny", "target"])
+    assert check_item_graph200k(rec, ["reference", "target"])
+    assert not check_item_graph200k(rec, ["openpose", "target"])
+    rec_lowq = make_record(tmp_path, 1, quality=1)
+    assert not check_item_graph200k(rec_lowq, ["reference", "target"])
+    assert check_item_graph200k(rec, ["GaussianBlur", "target"])
+
+
+def test_train_sampler_deterministic_and_resumable():
+    a = get_train_sampler(100, rank=0, world_size=2, global_batch_size=4,
+                          max_steps=50, resume_step=0, seed=7)
+    b = get_train_sampler(100, rank=0, world_size=2, global_batch_size=4,
+                          max_steps=50, resume_step=0, seed=7)
+    assert a == b
+    resumed = get_train_sampler(100, rank=0, world_size=2, global_batch_size=4,
+                                max_steps=50, resume_step=10, seed=7)
+    assert resumed == a[10 * 4 // 2 :]
+    other_rank = get_train_sampler(100, rank=1, world_size=2, global_batch_size=4,
+                                   max_steps=50, resume_step=0, seed=7)
+    # first-epoch indices are disjoint across ranks
+    assert set(a[:50]).isdisjoint(set(other_rank[:50]))
+
+
+# ----------------------------- dataset + loader -----------------------------
+
+@pytest.fixture
+def dataset(tmp_path):
+    records = [make_record(tmp_path, i) for i in range(6)]
+    ann_path = tmp_path / "data.json"
+    ann_path.write_text(json.dumps(records))
+    config = tmp_path / "config.yaml"
+    config.write_text(
+        f"META:\n- path: {ann_path}\n  type: image_grid_graph200k\n"
+    )
+    task_dicts = {
+        "image_grid_graph200k": [
+            {
+                "task_name": "conditional generation",
+                "sample_weight": 1.0,
+                "image_type_list": [["canny", "target"], ["depth", "target"]],
+            }
+        ]
+    }
+    return GridDataset(
+        str(config), Graph200KItemProcessor(resolution=64), task_dicts=task_dicts
+    )
+
+
+def test_dataset_getitem_training(dataset):
+    random.seed(0)
+    group, rows, instruction, text_emb, grid_shape = dataset[0]
+    assert group == "image_grid_graph200k"
+    cols, n_rows = grid_shape
+    assert cols == 2 and 1 <= n_rows <= 3
+    assert len(rows) == n_rows
+    for row in rows:
+        assert row.ndim == 3 and row.shape[2] == 3
+        assert row.shape[1] == cols * row.shape[0]  # hconcat of square cells
+        assert row.dtype == np.float32
+    assert isinstance(instruction, str) and len(instruction) > 0
+
+
+def test_item_processor_test_mode(tmp_path):
+    records = [make_record(tmp_path, i) for i in range(2)]
+    proc = Graph200KItemProcessor(resolution=64)
+    random.seed(1)
+    group, image_list, instruction, _, shape = proc.process_item(
+        records, training_mode=False, image_type_list=["canny", "target"],
+        context_num=2, group_name="image_grid_graph200k",
+    )
+    assert len(instruction) == 3
+    assert instruction[2] != ""  # target last -> content instruction present
+    assert len(image_list) == 2 and len(image_list[0]) == 2
+    assert all(isinstance(img, Image.Image) for row in image_list for img in row)
+
+
+def test_dataloader_batches(dataset):
+    random.seed(0)
+    sampler = list(range(4))
+    loader = DataLoader(dataset, sampler, batch_size=2,
+                        collate_fn=dataloader_collate_fn, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    group_names, images, prompts, text_embs, grid_shapes = batches[0]
+    assert len(group_names) == 2 and len(images) == 2
+
+
+def test_h5_cache_roundtrip(tmp_path, dataset):
+    records = [make_record(tmp_path / "x", i) for i in []]  # unused; reuse config
+    import random as _r
+
+    _r.seed(0)
+    config = str(dataset.config["META"][0]["path"]).replace("data.json", "config.yaml")
+    cached = GridDataset(
+        str(config),
+        Graph200KItemProcessor(resolution=64),
+        cache_on_disk=True,
+        task_dicts=dataset.task_dicts,
+        cache_root=str(tmp_path / "cache"),
+    )
+    assert len(cached) == len(dataset)
+    group, rows, instruction, _, _ = cached[0]
+    assert group == "image_grid_graph200k"

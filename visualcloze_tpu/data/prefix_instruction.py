@@ -1,0 +1,292 @@
+"""Prompt templates and the task registry.
+
+Counterpart of the reference's config-as-code task space
+(data/prefix_instruction.py:1-1085): per-image-type descriptions, layout /
+task / content instruction templates, the condition/style/editing/degradation
+type lists, and the Graph200K training (graph200k_task_dicts) and evaluation
+(test_task_dicts) registries.
+
+The registry STRUCTURE (keys, image types, sample weights, task composition)
+mirrors the reference so datasets and checkpoints interoperate; the template
+TEXT is an original bank with the same role (randomized natural-language
+instructions) — swap in a custom bank by editing these lists.
+"""
+
+from __future__ import annotations
+
+import random
+
+# ----------------------------- type lists -----------------------------
+
+condition_list = [
+    "canny", "depth", "hed", "normal", "mlsd", "openpose", "sam2_mask",
+    "uniformer", "mask", "foreground", "background",
+]
+
+style_list = ["InstantStyle", "ReduxStyle"]
+
+editing_list = ["DepthEdit", "FillEdit"]
+
+degradation_list = [
+    # x_distortion families
+    "blur", "compression", "SRx2", "SRx4", "pixelate", "Denoise",
+    "oversharpen", "jpeg", "quantization", "spatter",
+    # functional degradations
+    "GaussianNoise", "PoissonNoise", "SPNoise", "GaussianBlur", "DefocusBlur",
+    "GlassBlur", "MotionBlur", "ZoomBlur", "Frost", "Rain", "Contrast",
+    "Brightness", "Darkness", "JPEG", "Inpainting", "LowLight", "Ringing",
+    "r_l", "Elastic",
+    # operators
+    "Laplacian", "Canny", "Sobel", "mosaic", "barrel", "pincushion",
+    "flip", "rotate90", "rotate180", "rotate270",
+]
+
+
+# ----------------------------- template banks -----------------------------
+
+_IMAGE_PROMPTS: dict[str, list[str]] = {
+    "target": [
+        "a high-quality photograph",
+        "the clean reference photo",
+        "an aesthetically pleasing image",
+        "a sharp, well-exposed picture",
+        "the original full-color image",
+    ],
+    "reference": [
+        "a reference image of the same subject",
+        "an image showing the identical object in another scene",
+        "a photo depicting the same item elsewhere",
+    ],
+    "canny": [
+        "a canny edge map of the image",
+        "white edge contours on a black background",
+        "an edge-detection sketch of the scene",
+    ],
+    "depth": [
+        "a depth map of the scene",
+        "a grayscale map where brightness encodes distance",
+        "a per-pixel depth estimation result",
+    ],
+    "hed": [
+        "a holistically-nested edge map",
+        "a soft edge drawing of the image",
+    ],
+    "normal": [
+        "a surface normal map",
+        "an RGB-encoded normal estimation of the scene",
+    ],
+    "mlsd": [
+        "a wireframe of straight line segments",
+        "an M-LSD line segment detection map",
+    ],
+    "openpose": [
+        "a human pose skeleton rendering",
+        "an openpose keypoint diagram",
+    ],
+    "sam2_mask": [
+        "a colorful SAM2 segmentation of all regions",
+        "an automatic everything-mask segmentation",
+    ],
+    "uniformer": [
+        "a semantic segmentation map",
+        "a palette-colored semantic parsing of the scene",
+    ],
+    "mask": [
+        "the image with a random region masked out",
+        "a partially occluded copy of the image",
+    ],
+    "foreground": [
+        "the extracted foreground subject on a plain backdrop",
+        "the salient object cut out from its background",
+    ],
+    "background": [
+        "the background with the subject removed",
+        "the scene with the main object erased",
+    ],
+    "InstantStyle": [
+        "an image rendered in a distinctive artistic style",
+        "a stylized variant sharing the palette of its style pair",
+    ],
+    "ReduxStyle": [
+        "a style-transferred rendition of the content",
+        "an image re-imagined with a style prior",
+    ],
+    "DepthEdit": [
+        "a new image generated from the depth layout",
+        "a depth-guided re-synthesis of the scene",
+    ],
+    "FillEdit": [
+        "an edited image with new content filled into the masked region",
+        "the image after inpainting-based object replacement",
+    ],
+}
+
+
+def _degradation_prompt(deg: str) -> list[str]:
+    return [
+        f"the image degraded by {deg}",
+        f"a corrupted copy of the image ({deg})",
+        f"the picture after applying the {deg} degradation",
+    ]
+
+
+def get_image_prompt(image_type: str) -> list[str]:
+    """All template variants for one image type (ref :54-682)."""
+    if image_type in _IMAGE_PROMPTS:
+        return _IMAGE_PROMPTS[image_type]
+    if image_type in degradation_list:
+        return _degradation_prompt(image_type)
+    raise KeyError(f"unknown image type {image_type!r}")
+
+
+def get_layout_instruction(cols: int, rows: int) -> str:
+    """Randomized grid-layout prompt (ref :684-697)."""
+    templates = [
+        "A grid layout with {rows} rows and {cols} columns, displaying {total} images arranged side by side.",
+        "{total} images are organized into a grid of {rows} rows and {cols} columns, evenly spaced.",
+        "An image grid of {rows} by {cols}, containing {total} sub-images in a regular arrangement.",
+        "The picture is split into {rows} rows and {cols} columns, {total} tiles in total.",
+        "A composite of {total} images laid out in {rows} rows and {cols} columns.",
+        "Arranged as {rows}x{cols}, the canvas holds {total} individual images.",
+        "This composition shows {total} panels in a {rows}-row, {cols}-column grid.",
+        "A tiled sheet with {rows} horizontal bands and {cols} vertical slots, {total} images overall.",
+        "The frame contains a {rows}x{cols} matrix of {total} images.",
+        "{total} sub-pictures fill a grid that is {rows} rows tall and {cols} columns wide.",
+    ]
+    return random.choice(templates).format(rows=rows, cols=cols, total=rows * cols)
+
+
+def get_task_instruction(condition_prompt: str, target_prompt: str) -> str:
+    """Randomized in-context task prompt (ref :700-713)."""
+    templates = [
+        "In each row, a logical procedure derives the right-most image from the left: from <{c}> to <{t}>.",
+        "Every row demonstrates the same transformation, mapping <{c}> to <{t}>.",
+        "Each row applies one rule: the inputs are <{c}> and the output is <{t}>.",
+        "Rows share a common mapping whose source is <{c}> and whose result is <{t}>.",
+        "Following the in-context examples, <{c}> on the left produces <{t}> on the right.",
+        "The right-most image of every row is obtained from the others: <{c}> becomes <{t}>.",
+        "A consistent process turns <{c}> into <{t}> across all rows.",
+        "Use the pattern of the demonstration rows: given <{c}>, generate <{t}>.",
+        "All rows obey one rule that converts <{c}> into <{t}>.",
+        "The transformation illustrated row by row maps <{c}> onto <{t}>.",
+    ]
+    return random.choice(templates).format(c=condition_prompt, t=target_prompt)
+
+
+def get_content_instruction() -> str:
+    """Randomized content-prompt prefix (ref :716-729). The upsampling stage
+    strips exactly these prefixes (pipeline/visualcloze.CONTENT_INSTRUCTIONS)."""
+    prefixes = [
+        "The content of the last image in the final row is: ",
+        "The last image of the last row depicts: ",
+        "In the final row, the last image shows: ",
+        "The last image in the bottom row illustrates: ",
+        "The content of the bottom-right image is: ",
+        "The final image in the last row portrays: ",
+        "The last image of the final row displays: ",
+        "In the last row, the final image captures: ",
+        "The bottom-right corner image presents: ",
+        "The content of the last image in the concluding row is: ",
+    ]
+    return random.choice(prefixes)
+
+
+# ----------------------------- task registries -----------------------------
+
+def _cond(c):
+    return {"image_list": [[c, "target"]], "condition": c}
+
+
+graph200k_task_dicts: list[dict] = [
+    {
+        "task_name": "conditional generation",
+        "sample_weight": 1.0,
+        "image_type_list": [[c, "target"] for c in condition_list],
+    },
+    {
+        "task_name": "conditional generation with reference",
+        "sample_weight": 1.0,
+        "image_type_list": [["reference", c, "target"] for c in condition_list],
+    },
+    {
+        "task_name": "conditional generation with style",
+        "sample_weight": 1.0,
+        "image_type_list": [
+            [style, c, "target"] for style in style_list for c in condition_list
+        ],
+    },
+    {
+        "task_name": "reference generation",
+        "sample_weight": 1.0,
+        "image_type_list": [["reference", "target"]],
+    },
+    {
+        "task_name": "subject extraction",
+        "sample_weight": 1.0,
+        "image_type_list": [["target", "foreground"], ["target", "background"]],
+    },
+    {
+        "task_name": "style transfer",
+        "sample_weight": 1.0,
+        "image_type_list": [[style, "target"] for style in style_list],
+    },
+    {
+        "task_name": "style transfer with condition",
+        "sample_weight": 1.0,
+        "image_type_list": [
+            [c, style, "target"] for style in style_list for c in ("canny", "depth")
+        ],
+    },
+    {
+        "task_name": "image editing",
+        "sample_weight": 1.0,
+        "image_type_list": [[e, "target"] for e in editing_list],
+    },
+    {
+        "task_name": "image editing with reference",
+        "sample_weight": 1.0,
+        "image_type_list": [["reference", e, "target"] for e in editing_list],
+    },
+    {
+        "task_name": "dense prediction",
+        "sample_weight": 1.0,
+        "image_type_list": [["target", c] for c in condition_list if c not in ("mask",)],
+    },
+    {
+        "task_name": "restoration",
+        "sample_weight": 1.0,
+        "image_type_list": [[deg, "target"] for deg in degradation_list],
+    },
+    {
+        "task_name": "restoration with reference",
+        "sample_weight": 1.0,
+        "image_type_list": [["reference", deg, "target"] for deg in degradation_list],
+    },
+]
+
+test_task_dicts: list[dict] = [
+    {
+        "task_name": "conditional generation",
+        "image_type_list": [[c, "target"] for c in condition_list],
+    },
+    {
+        "task_name": "dense prediction",
+        "image_type_list": [["target", c] for c in ("canny", "depth", "openpose", "uniformer")],
+    },
+    {
+        "task_name": "restoration",
+        "image_type_list": [[deg, "target"] for deg in ("GaussianNoise", "GaussianBlur", "JPEG", "LowLight")],
+    },
+    {
+        "task_name": "reference generation",
+        "image_type_list": [["reference", "target"]],
+    },
+    {
+        "task_name": "subject extraction",
+        "image_type_list": [["target", "foreground"]],
+    },
+    {
+        "task_name": "style transfer",
+        "image_type_list": [[style, "target"] for style in style_list],
+    },
+]
