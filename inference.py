@@ -1,0 +1,95 @@
+"""Minimal inference CLI (counterpart of the reference inference.py:7-78).
+
+Runs one in-context grid through the pipeline and saves the generated cell.
+With --demo (no checkpoints required) a tiny random model runs end-to-end to
+validate the installation.
+
+Example (real weights):
+  FLUX_DEV_FILL=... AE=... T5_PATH=... CLIP_PATH=... \
+  python inference.py --model_path visualcloze-384.pth --resolution 384 \
+      --rows examples/row1_a.png,examples/row1_b.png \
+      --rows examples/query.png,MASK \
+      --layout "A grid with 2 rows and 2 columns" \
+      --task "every row maps a garment to a person wearing it" \
+      --content "a person wearing the garment" -o example.jpg
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+from PIL import Image
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_path", default=None, help="VisualCloze LoRA checkpoint")
+    p.add_argument("--model_name", default="flux-dev-fill-lora")
+    p.add_argument("--resolution", type=int, default=384)
+    p.add_argument("--lora_rank", type=int, default=256)
+    p.add_argument("--rows", action="append", default=[],
+                   help="comma-separated image paths per row; MASK for the target cell")
+    p.add_argument("--layout", default=None)
+    p.add_argument("--task", default="")
+    p.add_argument("--content", default="")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cfg", type=float, default=30.0)
+    p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--upsampling_steps", type=int, default=10)
+    p.add_argument("--upsampling_noise", type=float, default=0.4)
+    p.add_argument("--no_upsampling", action="store_true")
+    p.add_argument("-o", "--output", default="example.jpg")
+    p.add_argument("--demo", action="store_true", help="tiny random model, no checkpoints")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.demo:
+        from visualcloze_tpu.pipeline import random_components
+
+        model = random_components(jax.random.PRNGKey(0), tiny=True, resolution=64)
+        if not args.rows:
+            blank = Image.new("RGB", (64, 64), (120, 180, 90))
+            tmp = "/tmp/_vc_demo.png"
+            blank.save(tmp)
+            args.rows = [f"{tmp},{tmp}", f"{tmp},MASK"]
+    else:
+        from visualcloze_tpu.pipeline import build_visualcloze
+
+        model = build_visualcloze(
+            model_path=args.model_path,
+            model_name=args.model_name,
+            lora_rank=args.lora_rank,
+            resolution=args.resolution,
+        )
+
+    grid = [
+        [None if cell.strip() == "MASK" else Image.open(cell.strip()).convert("RGB")
+         for cell in row.split(",")]
+        for row in args.rows
+    ]
+    grid_h, grid_w = len(grid), len(grid[0])
+    model.set_grid_size(grid_h, grid_w)
+
+    layout = args.layout or (
+        f"A grid layout with {grid_h} rows and {grid_w} columns, "
+        f"displaying {grid_h * grid_w} images arranged side by side."
+    )
+    images = model.process_images(
+        grid,
+        [layout, args.task, args.content],
+        seed=args.seed,
+        cfg=args.cfg,
+        steps=args.steps,
+        upsampling_steps=args.upsampling_steps,
+        upsampling_noise=args.upsampling_noise,
+        is_upsampling=not args.no_upsampling,
+    )
+    images[0].save(args.output)
+    print(f"saved {args.output} ({images[0].size})")
+
+
+if __name__ == "__main__":
+    main()

@@ -158,12 +158,15 @@ class GridDataset:
         return None
 
     def get_context_index(self, index: int, tried: set[int]) -> int:
+        """Pick an untried in-group index; raises LookupError when the group
+        is exhausted (the reference would spin forever — dataset.py:194-202)."""
         for _, idxs in self.group_indices.items():
             if idxs[0] <= index <= idxs[-1]:
                 available = [i for i in idxs if i not in tried]
-                if available:
-                    index = random.choice(available)
-                    tried.add(index)
+                if not available:
+                    raise LookupError("group exhausted for this task spec")
+                index = random.choice(available)
+                tried.add(index)
                 break
         return index
 
@@ -174,23 +177,28 @@ class GridDataset:
 
     def __getitem__(self, index: int):
         group_name = self.sample_group()
-        index = random.choice(self.group_indices[group_name])
-        tried: set[int] = {index}
-
-        context_num = random.choices([1, 2, 3], weights=[0.3, 0.4, 0.3])[0]
+        check_item = self.check_item[group_name]
         tasks = self.task_dicts[group_name]
         task_weights = [t["sample_weight"] for t in tasks]
-        task_type = random.choices(tasks, weights=task_weights)[0]
-        image_type_list = random.choice(task_type["image_type_list"])
 
-        check_item = self.check_item[group_name]
         for _ in range(10_000):
+            # (re)sample task spec, context count, and starting index; bad
+            # records or unsatisfiable specs fall through to a fresh draw
+            # (ref dataset.py:217-249 retries within one spec and can spin;
+            # resampling the spec is strictly more robust)
+            idx = random.choice(self.group_indices[group_name])
+            tried: set[int] = {idx}
+            context_num = random.choices([1, 2, 3], weights=[0.3, 0.4, 0.3])[0]
+            task_type = random.choices(tasks, weights=task_weights)[0]
+            image_type_list = random.choice(task_type["image_type_list"])
             try:
                 index_list: list[int] = []
+                if check_item(idx, image_type_list):
+                    index_list.append(idx)
                 while len(index_list) < context_num:
-                    index = self.get_context_index(index, tried)
-                    if check_item(index, image_type_list):
-                        index_list.append(index)
+                    idx = self.get_context_index(idx, tried)
+                    if check_item(idx, image_type_list):
+                        index_list.append(idx)
                 records = [self._record(i) for i in index_list]
                 return self.item_processor.process_item(
                     records,
@@ -199,7 +207,9 @@ class GridDataset:
                     context_num=context_num,
                     group_name=group_name,
                 )
-            except Exception as e:  # bad record: resample (ref dataset.py:235-241)
+            except LookupError:
+                continue
+            except Exception as e:
                 logger.warning("record failed (%s); resampling", e)
         raise RuntimeError("could not assemble a valid grid sample")
 

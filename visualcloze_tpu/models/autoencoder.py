@@ -241,6 +241,8 @@ class AutoEncoder:
     def __init__(self, cfg: AutoEncoderConfig, params: Params):
         self.cfg = cfg
         self.params = params
+        self._encode_jit = None
+        self._decode_jit = None
 
     def encode_moments(self, x: jnp.ndarray) -> jnp.ndarray:
         return encoder_apply(self.cfg, self.params["encoder"], x)
@@ -254,3 +256,17 @@ class AutoEncoder:
     def decode(self, z: jnp.ndarray) -> jnp.ndarray:
         z = z / self.cfg.scale_factor + self.cfg.shift_factor
         return decoder_apply(self.cfg, self.params["decoder"], z)
+
+    # jit-cached variants (per input shape); params passed as an argument so
+    # donated/updated trees don't retrace
+    def encode_jit(self, x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+        if self._encode_jit is None:
+            self._encode_jit = jax.jit(
+                lambda p, x, k: AutoEncoder(self.cfg, p).encode(x, key=k)
+            )
+        return self._encode_jit(self.params, x, key)
+
+    def decode_jit(self, z: jnp.ndarray) -> jnp.ndarray:
+        if self._decode_jit is None:
+            self._decode_jit = jax.jit(lambda p, z: AutoEncoder(self.cfg, p).decode(z))
+        return self._decode_jit(self.params, z)

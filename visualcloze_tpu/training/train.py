@@ -1,0 +1,244 @@
+"""Training CLI: the full VisualCloze trainer on TPU.
+
+Counterpart of the reference train.py (760-840 flags, 228-752 main):
+GSPMD mesh instead of NCCL+FSDP wrappers, one jitted step with scanned
+gradient accumulation, Orbax + reference-format LoRA checkpoints,
+deterministic resumable data order.
+
+Run (example, mirrors exps/train.sh):
+  python -m visualcloze_tpu.training.train \
+      --data_path configs/data/visualcloze.yaml \
+      --results_dir ./results --model_name flux-dev-fill-lora \
+      --global_bsz 16 --micro_bsz 2 --lr 1e-4 --grad_clip 2.0 \
+      --snr_type lognorm --lora_rank 256 --grid_resolution 384 \
+      --training_type lora --max_steps 50000 --fsdp 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FluxConfig, configs
+from ..data import (
+    DataLoader,
+    Graph200KItemProcessor,
+    GridDataset,
+    dataloader_collate_fn,
+    get_train_sampler,
+)
+from ..data.prefix_instruction import graph200k_task_dicts
+from ..models.flux import init_flux, param_count
+from ..models.lora import init_lora, lora_param_count
+from ..parallel import create_mesh, initialize_distributed, replicate_tree, shard_params
+from ..transport import create_transport
+from ..utils.misc import PhaseTimer, SmoothedValue
+from . import checkpoint as ckpt
+from .batch import prepare_train_batch, to_micro_batches
+from .step import init_train_state, make_optimizer, make_train_step, trainable_mask
+
+logger = logging.getLogger("train")
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="VisualCloze TPU trainer")
+    # model / data (ref train.py:760-840)
+    p.add_argument("--model_name", default="flux-dev-fill-lora", choices=list(configs))
+    p.add_argument("--data_path", required=True)
+    p.add_argument("--results_dir", default="./results")
+    p.add_argument("--grid_resolution", type=int, default=384)
+    p.add_argument("--cache_data_on_disk", action="store_true")
+    # optimization
+    p.add_argument("--max_steps", type=int, default=100_000)
+    p.add_argument("--global_bsz", type=int, default=16)
+    p.add_argument("--micro_bsz", type=int, default=2)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--wd", type=float, default=0.0)
+    p.add_argument("--grad_clip", type=float, default=2.0)
+    p.add_argument("--snr_type", default="lognorm")
+    p.add_argument("--no_shift", action="store_true")
+    p.add_argument("--caption_dropout_prob", type=float, default=0.1)
+    p.add_argument("--training_type", default="lora",
+                   choices=["lora", "full_model", "double_block", "bias", "norm"])
+    p.add_argument("--lora_rank", type=int, default=128)
+    p.add_argument("--use_model_ema", action="store_true")
+    p.add_argument("--ema_decay", type=float, default=0.95)
+    p.add_argument("--checkpointing", action="store_true", help="activation remat")
+    # parallelism (mesh axes replace data_parallel fsdp/sdp flags)
+    p.add_argument("--dp", type=int, default=1)
+    p.add_argument("--fsdp", type=int, default=0, help="0 = all remaining devices")
+    p.add_argument("--tp", type=int, default=1)
+    # checkpointing / resume
+    p.add_argument("--ckpt_every", type=int, default=1000)
+    p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--auto_resume", action="store_true")
+    p.add_argument("--resume", default=None)
+    p.add_argument("--init_from", default=None, help="consolidated LoRA .pth to start from")
+    p.add_argument("--global_seed", type=int, default=0)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--init_random", action="store_true",
+                   help="random base weights (no FLUX checkpoint; smoke tests)")
+    p.add_argument("--tiny", action="store_true", help="tiny model (smoke tests)")
+    p.add_argument("--max_seq_bucket", type=int, default=256)
+    p.add_argument("--profile_dir", default=None)
+    p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"],
+                   help="compute dtype (bf16 on TPU; fp32 for CPU smoke tests "
+                        "where bf16 is emulated)")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    logging.basicConfig(level=logging.INFO, format="[%(asctime)s %(name)s] %(message)s")
+    initialize_distributed()
+
+    n_dev = len(jax.devices())
+    fsdp = args.fsdp or max(1, n_dev // (args.dp * args.tp))
+    mesh = create_mesh(dp=args.dp, fsdp=fsdp, tp=args.tp)
+    logger.info("mesh: dp=%d fsdp=%d tp=%d over %d devices", args.dp, fsdp, args.tp, n_dev)
+
+    # ----- models -----
+    spec = configs[args.model_name]
+    flux_cfg = spec.flux.tiny() if args.tiny else spec.flux
+    from ..pipeline.loader import random_components
+
+    if args.init_random or args.tiny:
+        bundle = random_components(
+            jax.random.PRNGKey(args.global_seed), tiny=args.tiny,
+            resolution=args.grid_resolution,
+        )
+        flux_cfg, params = bundle.cfg, bundle.params
+        ae, t5, clip = bundle.ae, bundle.t5, bundle.clip
+    else:
+        from ..pipeline.loader import load_ae, load_clip, load_flux_params, load_t5
+
+        flux_cfg, params = load_flux_params(args.model_name, dtype=jnp.float32)
+        ae, t5, clip = load_ae(), load_t5(), load_clip()
+
+    lora = None
+    if args.training_type == "lora":
+        lora = init_lora(jax.random.PRNGKey(args.global_seed + 1), params, args.lora_rank)
+        if args.init_from:
+            lora = ckpt.load_torch_lora(args.init_from, flux_cfg)
+        logger.info("LoRA params: %.1fM", lora_param_count(lora) / 1e6)
+    logger.info("base params: %.2fB", param_count(params) / 1e9)
+
+    params = shard_params(params, mesh)
+    if lora is not None:
+        lora = replicate_tree(lora, mesh)
+
+    # ----- optimizer / state -----
+    mask = None
+    if args.training_type not in ("lora", "full_model"):
+        mask = trainable_mask(params, args.training_type)
+    optimizer = make_optimizer(args.lr, args.wd, args.grad_clip, mask)
+    state = init_train_state(params, lora, optimizer, args.training_type, args.use_model_ema)
+
+    transport = create_transport(
+        "Linear", "velocity", snr_type=args.snr_type, do_shift=not args.no_shift
+    )
+    compute_dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    train_step = jax.jit(
+        make_train_step(
+            flux_cfg, transport, optimizer, args.training_type,
+            ema_decay=args.ema_decay if args.use_model_ema else None,
+            remat=args.checkpointing,
+            compute_dtype=compute_dtype,
+        ),
+        donate_argnums=(0,),
+    )
+
+    # ----- resume -----
+    ckpt_root = os.path.join(args.results_dir, "checkpoints")
+    resume_step = 0
+    resume_dir = args.resume
+    if args.auto_resume and resume_dir is None:
+        resume_dir = ckpt.find_latest_checkpoint(ckpt_root)
+    if resume_dir:
+        logger.info("resuming from %s", resume_dir)
+        template = jax.device_get(
+            {"params": state.params, "lora": state.lora,
+             "opt_state": state.opt_state, "ema": state.ema, "step": state.step}
+        )
+        restored = ckpt.load_checkpoint(resume_dir, abstract_state=template)
+        state = state._replace(
+            step=jnp.asarray(restored["step"]),
+            params=jax.tree.map(jnp.asarray, restored["params"]),
+            lora=jax.tree.map(jnp.asarray, restored["lora"]) if restored["lora"] is not None else None,
+            opt_state=jax.tree.map(jnp.asarray, restored["opt_state"]),
+            ema=jax.tree.map(jnp.asarray, restored["ema"]) if restored["ema"] is not None else None,
+        )
+        resume_step = ckpt.load_resume_step(resume_dir)
+
+    # ----- data -----
+    process_index = jax.process_index()
+    world = jax.process_count()
+    dataset = GridDataset(
+        args.data_path,
+        Graph200KItemProcessor(resolution=args.grid_resolution),
+        cache_on_disk=args.cache_data_on_disk,
+        task_dicts={"image_grid_graph200k": graph200k_task_dicts},
+        process_index=process_index,
+    )
+    local_bsz = args.global_bsz // world
+    sampler = get_train_sampler(
+        len(dataset), process_index, world, args.global_bsz,
+        args.max_steps, resume_step, args.global_seed,
+    )
+    loader = DataLoader(
+        dataset, sampler, local_bsz, dataloader_collate_fn, num_workers=args.num_workers
+    )
+    loader_iter = iter(loader)
+
+    # ----- loop (ref train.py:544-677) -----
+    os.makedirs(ckpt_root, exist_ok=True)
+    rng = np.random.default_rng(args.global_seed + process_index)
+    key = jax.random.PRNGKey(args.global_seed + 1000 + process_index)
+    timer = PhaseTimer()
+    loss_meter = SmoothedValue()
+    logger.info("training for %d steps from %d", args.max_steps, resume_step)
+
+    for step in range(resume_step, args.max_steps):
+        timer.reset()
+        _, rows_batch, prompts, _, grid_shapes = next(loader_iter)
+        timer.mark("DataloadSecs")
+
+        key, bk, sk = jax.random.split(key, 3)
+        batch = prepare_train_batch(
+            ae, t5, clip, rows_batch, prompts, grid_shapes, bk, rng,
+            caption_dropout=args.caption_dropout_prob, bucket=args.max_seq_bucket,
+            compute_dtype=compute_dtype,
+        )
+        batch = to_micro_batches(batch, args.micro_bsz)
+        timer.mark("EncodeSecs")
+
+        state, metrics = train_step(state, batch, sk)
+        if step % args.log_every == 0:
+            loss = float(jax.device_get(metrics["loss"]))
+            gn = float(jax.device_get(metrics["grad_norm"]))
+            timer.mark("TrainSecs")
+            loss_meter.update(loss)
+            logger.info(
+                "step %d loss %.4f (%s) grad_norm %.3f %s",
+                step, loss, loss_meter, gn, timer.summary(),
+            )
+
+        if (step + 1) % args.ckpt_every == 0 or step + 1 == args.max_steps:
+            path = ckpt.save_checkpoint(
+                ckpt_root, step + 1, state, flux_cfg,
+                model_args=vars(args), save_ema=args.use_model_ema,
+            )
+            logger.info("saved checkpoint %s", path)
+
+    logger.info("done")
+
+
+if __name__ == "__main__":
+    main()
