@@ -161,6 +161,83 @@ def prepare(
     }
 
 
+def prepare_fill(
+    t5: Callable,
+    clip: Callable,
+    img: jnp.ndarray,
+    prompt: str | Sequence[str],
+    ae,
+    img_cond: np.ndarray,
+    mask: np.ndarray,
+    key: jax.Array,
+) -> dict[str, jnp.ndarray]:
+    """BFL Fill-model packer (ref models/sampling.py:197-247): masked cond
+    image VAE-encoded + mask 8x8/2x2-packed, concatenated on channels.
+
+    Args:
+      img: (B, h, w, 16) noise latent (NHWC).
+      img_cond: (H, W, 3) pixels in [-1, 1].
+      mask: (H, W) float in [0, 1].
+    """
+    from ..ops.packing import pack_mask
+
+    masked = img_cond * (1.0 - mask[..., None])
+    lat = ae.encode(jnp.asarray(masked)[None], key=key)
+    cond_tok = patchify(lat.astype(img.dtype))
+    mask_tok = pack_mask(jnp.asarray(mask)[None].astype(img.dtype))
+    bs = img.shape[0]
+    if cond_tok.shape[0] == 1 and bs > 1:
+        cond_tok = jnp.broadcast_to(cond_tok, (bs,) + cond_tok.shape[1:])
+        mask_tok = jnp.broadcast_to(mask_tok, (bs,) + mask_tok.shape[1:])
+    out = prepare(t5, clip, img, prompt)
+    out["img_cond"] = jnp.concatenate([cond_tok, mask_tok], axis=-1)
+    return out
+
+
+def prepare_control(
+    t5: Callable,
+    clip: Callable,
+    img: jnp.ndarray,
+    prompt: str | Sequence[str],
+    ae,
+    encoder: Callable,
+    img_cond_pil,
+    key: jax.Array,
+) -> dict[str, jnp.ndarray]:
+    """BFL Canny/Depth packer (ref models/sampling.py:160-194): conditioning
+    image through the control encoder, VAE-encoded and patchified."""
+    cond_px = encoder(img_cond_pil)  # (1, H, W, 3) in [-1, 1]
+    lat = ae.encode(cond_px, key=key)
+    cond_tok = patchify(lat.astype(img.dtype))
+    bs = img.shape[0]
+    if cond_tok.shape[0] == 1 and bs > 1:
+        cond_tok = jnp.broadcast_to(cond_tok, (bs,) + cond_tok.shape[1:])
+    out = prepare(t5, clip, img, prompt)
+    out["img_cond"] = cond_tok
+    return out
+
+
+def prepare_redux(
+    t5: Callable,
+    clip: Callable,
+    img: jnp.ndarray,
+    prompt: str | Sequence[str],
+    encoder: Callable,
+    img_cond_pil,
+) -> dict[str, jnp.ndarray]:
+    """BFL Redux packer (ref models/sampling.py:250-297): SigLIP-projected
+    image tokens appended to the T5 sequence."""
+    img_cond = encoder(img_cond_pil)  # (1, L_cond, context_dim)
+    out = prepare(t5, clip, img, prompt)
+    txt = jnp.concatenate([out["txt"], img_cond.astype(out["txt"].dtype)], axis=-2)
+    bs = out["img"].shape[0]
+    if txt.shape[0] == 1 and bs > 1:
+        txt = jnp.broadcast_to(txt, (bs,) + txt.shape[1:])
+    out["txt"] = txt
+    out["txt_ids"] = jnp.zeros((bs, txt.shape[1], 3), jnp.float32)
+    return out
+
+
 def unpack(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
     """Tokens -> NHWC latent (ref models/sampling.py:364-372); height/width
     in pixels."""
