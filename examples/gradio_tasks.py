@@ -1,0 +1,132 @@
+"""Example-gallery machinery for the demo UI.
+
+Counterpart of the reference's examples/gradio_tasks*.py: a shared path
+convention (`generate_paths_from_id`, ref gradio_tasks.py:8-36), per-family
+example registries, and `process_*_tasks` hooks returning the demo output
+signature (ref gradio_tasks.py:108-190).
+
+Assets resolve under $EXAMPLES_ROOT (default ./examples/assets); families
+with missing assets yield empty galleries instead of failing, so the demo
+runs without the asset pack.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from visualcloze_tpu.data.prefix_instruction import (
+    get_content_instruction,
+    get_image_prompt,
+    get_layout_instruction,
+    get_task_instruction,
+)
+
+EXAMPLES_ROOT = os.environ.get("EXAMPLES_ROOT", os.path.join(os.path.dirname(__file__), "assets"))
+
+
+def generate_paths_from_id(file_id: str, prompt: str) -> dict[str, str]:
+    """Path convention: one asset id maps to every condition modality
+    (ref examples/gradio_tasks.py:8-36)."""
+    base = os.path.join(EXAMPLES_ROOT, file_id)
+    return {
+        "target": f"{base}_target.jpg",
+        "canny": f"{base}_canny.jpg",
+        "depth": f"{base}_depth.jpg",
+        "hed": f"{base}_hed.jpg",
+        "normal": f"{base}_normal.jpg",
+        "mlsd": f"{base}_mlsd.jpg",
+        "openpose": f"{base}_openpose.jpg",
+        "sam2_mask": f"{base}_sam2_mask.jpg",
+        "uniformer": f"{base}_uniformer.jpg",
+        "foreground": f"{base}_foreground.jpg",
+        "background": f"{base}_background.jpg",
+        "mask": f"{base}_mask.jpg",
+        "reference": f"{base}_reference.jpg",
+        "style_source": f"{base}_style_source.jpg",
+        "style_target": f"{base}_style_target.jpg",
+        "prompt": prompt,
+    }
+
+
+@dataclass
+class TaskExample:
+    name: str
+    image_type_list: list[str]
+    file_ids: list[str]
+    prompts: list[str]
+    mask_count: int = 1
+
+    def rows(self, context_num: int = 1) -> list[list[str | None]]:
+        """Grid of asset paths; the final row's last `mask_count` cells are
+        None (masked)."""
+        grid: list[list[str | None]] = []
+        for i, fid in enumerate(self.file_ids[: context_num + 1]):
+            paths = generate_paths_from_id(fid, self.prompts[min(i, len(self.prompts) - 1)])
+            row: list[str | None] = [paths.get(t) for t in self.image_type_list]
+            grid.append(row)
+        for j in range(1, self.mask_count + 1):
+            grid[-1][-j] = None
+        return grid
+
+
+task_families: dict[str, list[TaskExample]] = {}
+
+
+def register_task_family(family: str, examples: list[TaskExample]) -> None:
+    available = []
+    for ex in examples:
+        paths = generate_paths_from_id(ex.file_ids[0], "")
+        first = paths.get(ex.image_type_list[0])
+        if first and Path(first).exists():
+            available.append(ex)
+    task_families[family] = available
+
+
+def dense_prediction_tasks() -> list[TaskExample]:
+    return [
+        TaskExample(
+            name=f"image to {cond}",
+            image_type_list=["target", cond],
+            file_ids=["dense_0", "dense_1"],
+            prompts=["a photo", "a photo"],
+        )
+        for cond in ("canny", "depth", "openpose", "uniformer")
+    ]
+
+
+def conditional_generation_tasks() -> list[TaskExample]:
+    return [
+        TaskExample(
+            name=f"{cond} to image",
+            image_type_list=[cond, "target"],
+            file_ids=["cond_0", "cond_1"],
+            prompts=["a photo", "a photo"],
+        )
+        for cond in ("canny", "depth", "mlsd", "normal")
+    ]
+
+
+register_task_family("dense_prediction", dense_prediction_tasks())
+register_task_family("conditional_generation", conditional_generation_tasks())
+
+
+def process_tasks(example: TaskExample, context_num: int = 1):
+    """Build the demo output signature (ref gradio_tasks.py:343-374):
+    [mask_count, grid_h, grid_w, layout, task, content, upsampling_noise,
+    steps, *image_paths]."""
+    grid = example.rows(context_num)
+    grid_h, grid_w = len(grid), len(grid[0])
+    prompts = [random.choice(get_image_prompt(t)) for t in example.image_type_list]
+    prompts = [f"[IMAGE{i + 1}] {p}" for i, p in enumerate(prompts)]
+    layout = get_layout_instruction(grid_w, grid_h)
+    task = get_task_instruction(", ".join(prompts[:-1]), prompts[-1])
+    content = (
+        get_content_instruction() + example.prompts[-1]
+        if example.image_type_list[-1] == "target"
+        else ""
+    )
+    images = [cell for row in grid for cell in row]
+    return [example.mask_count, grid_h, grid_w, layout, task, content, 0.4, 30, *images]

@@ -1,0 +1,42 @@
+"""Metrics and example-gallery machinery tests."""
+
+import numpy as np
+
+from visualcloze_tpu.utils.metrics import mae, psnr, ssim
+
+
+def test_psnr_identity_and_noise():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (32, 32, 3)).astype(np.float64)
+    assert psnr(img, img) == float("inf")
+    noisy = img + rng.normal(0, 2.0, img.shape)
+    p = psnr(img, noisy)
+    assert 35 < p < 50
+    # psnr formula check: sigma=2 -> ~10*log10(255^2/4) = 42.1
+    assert abs(p - 10 * np.log10(255 ** 2 / np.mean((img - noisy) ** 2))) < 1e-9
+
+
+def test_ssim_mae_basics():
+    a = np.full((16, 16), 100.0)
+    assert ssim(a, a) == 1.0
+    assert mae(a, a + 3) == 3.0
+
+
+def test_examples_registry():
+    from examples import TaskExample, generate_paths_from_id, process_tasks, task_families
+
+    paths = generate_paths_from_id("abc", "a cat")
+    assert paths["canny"].endswith("abc_canny.jpg")
+    assert paths["prompt"] == "a cat"
+    # no asset pack in this environment -> families registered but empty
+    assert isinstance(task_families, dict)
+    ex = TaskExample(
+        name="canny to image", image_type_list=["canny", "target"],
+        file_ids=["x0", "x1"], prompts=["p0", "p1"],
+    )
+    out = process_tasks(ex, context_num=1)
+    mask_count, grid_h, grid_w = out[0], out[1], out[2]
+    assert (mask_count, grid_h, grid_w) == (1, 2, 2)
+    assert len(out) == 8 + grid_h * grid_w
+    grid = ex.rows(context_num=1)
+    assert grid[-1][-1] is None and grid[0][0] is not None

@@ -101,6 +101,23 @@ class VisualClozeModel:
         self.grid_h = h
         self.grid_w = w
 
+    def warmup(self, grid_shapes: list[tuple[int, int]], steps: int = 30,
+               upsampling_steps: int = 10, upsampling_noise: float = 0.4) -> None:
+        """Pre-compile the denoise/encode/decode programs for the given
+        (grid_h, grid_w) shapes plus the SDEdit stage (different seq len and
+        step count — SURVEY.md §7 'SDEdit recompilation'). Serving setups call
+        this once so first-request latency is steady-state."""
+        for gh, gw in grid_shapes:
+            self.set_grid_size(gh, gw)
+            blank = Image.new("RGB", (self.resolution, self.resolution), (0, 0, 0))
+            grid = [[blank] * gw for _ in range(gh)]
+            grid[-1][-1] = None
+            self.process_images(
+                grid, ["warmup", "", ""], seed=1, steps=steps,
+                upsampling_steps=upsampling_steps, upsampling_noise=upsampling_noise,
+                is_upsampling=True,
+            )
+
     def encode_row(self, row_img: np.ndarray, key: jax.Array) -> jnp.ndarray:
         """(H, W, 3) [-1,1] pixels -> (1, H/8, W/8, 16) scaled latent."""
         return self._encode_jit(self.ae.params, jnp.asarray(row_img)[None], key)
