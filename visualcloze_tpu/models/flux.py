@@ -64,6 +64,7 @@ def flux_apply(
     lora_scale=1.0,
     attn_impl: str = "auto",
     remat: bool = False,
+    rope_layout: str = "interleaved",
 ) -> jnp.ndarray:
     """Forward pass (ref: models/model.py:85-124).
 
@@ -99,11 +100,15 @@ def flux_apply(
     pe = embed_nd(ids, cfg.axes_dim, cfg.theta)
 
     b, txt_len = txt.shape[:2]
-    if txt_mask is None:
-        txt_mask = jnp.ones((b, txt_len), dtype=jnp.int32)
-    if img_mask is None:
-        img_mask = jnp.ones((b, img.shape[1]), dtype=jnp.int32)
-    attn_mask = jnp.concatenate([txt_mask, img_mask], axis=1)
+    if txt_mask is None and img_mask is None:
+        # no-padding fast path: the flash kernel skips its bias pass entirely
+        attn_mask = None
+    else:
+        if txt_mask is None:
+            txt_mask = jnp.ones((b, txt_len), dtype=jnp.int32)
+        if img_mask is None:
+            img_mask = jnp.ones((b, img.shape[1]), dtype=jnp.int32)
+        attn_mask = jnp.concatenate([txt_mask, img_mask], axis=1)
 
     has_lora = "double_blocks" in l
 
@@ -111,13 +116,13 @@ def flux_apply(
         bp, bl = xs
         i, t = carry
         i, t = layers.double_block(
-            cfg, bp, i, t, vec, pe, attn_mask, bl, lora_scale, attn_impl
+            cfg, bp, i, t, vec, pe, attn_mask, bl, lora_scale, attn_impl, rope_layout
         )
         return (i, t), None
 
     def sbody(x, xs):
         bp, bl = xs
-        x = layers.single_block(cfg, bp, x, vec, pe, attn_mask, bl, lora_scale, attn_impl)
+        x = layers.single_block(cfg, bp, x, vec, pe, attn_mask, bl, lora_scale, attn_impl, rope_layout)
         return x, None
 
     if remat:

@@ -115,6 +115,7 @@ def double_block(
     lora: Params | None = None,
     lora_scale=1.0,
     attn_impl: str = "auto",
+    rope_layout: str = "interleaved",
 ):
     """DoubleStreamBlock (ref layers.py:129-196): separate img/txt streams with
     joint attention over concat(txt, img)."""
@@ -136,7 +137,7 @@ def double_block(
     k = jnp.concatenate([txt_k, img_k], axis=2)
     v = jnp.concatenate([txt_v, img_v], axis=2)
 
-    attn = attention(q, k, v, pe, mask=attn_mask, impl=attn_impl)
+    attn = attention(q, k, v, pe, mask=attn_mask, impl=attn_impl, rope_layout=rope_layout)
     txt_len = txt.shape[1]
     txt_attn, img_attn = attn[:, :txt_len], attn[:, txt_len:]
 
@@ -168,6 +169,7 @@ def single_block(
     lora: Params | None = None,
     lora_scale=1.0,
     attn_impl: str = "auto",
+    rope_layout: str = "interleaved",
 ) -> jnp.ndarray:
     """SingleStreamBlock (ref layers.py:199-245): fused parallel attn+MLP."""
     l = lora or {}
@@ -177,7 +179,7 @@ def single_block(
     qkv, mlp_h = jnp.split(h, [3 * cfg.hidden_size], axis=-1)
     q, k, v = _split_heads(qkv, cfg.num_heads)
     q, k = qk_norm(p["norm"], q, k, v)
-    attn = attention(q, k, v, pe, mask=attn_mask, impl=attn_impl)
+    attn = attention(q, k, v, pe, mask=attn_mask, impl=attn_impl, rope_layout=rope_layout)
     out = linear(
         p["linear2"],
         jnp.concatenate([attn, jax.nn.gelu(mlp_h, approximate=True)], axis=-1),

@@ -186,6 +186,61 @@ def flux_to_torch_state(params: Params, cfg: FluxConfig) -> dict[str, np.ndarray
     return state
 
 
+def _half_perm(head_dim: int) -> np.ndarray:
+    """[0, 2, ..., D-2, 1, 3, ..., D-1]: interleaved pairs -> half layout."""
+    return np.concatenate([np.arange(0, head_dim, 2), np.arange(1, head_dim, 2)])
+
+
+def permute_rope_layout(params: Params, cfg: FluxConfig) -> Params:
+    """Re-order q/k channels of every attention projection into the "half"
+    RoPE layout (ops/rope.apply_rope_half). Valid because attention output is
+    invariant to a consistent q/k channel permutation; v and all other
+    weights are untouched. Apply once at load time; use
+    flux_apply(rope_layout="half") with the result."""
+    import jax.numpy as jnp
+
+    h, nh, d = cfg.hidden_size, cfg.num_heads, cfg.head_dim
+    perm_d = _half_perm(d)
+    # permutation over the fused qkv output dim (k-major: kk*(H*D)+h*D+dd),
+    # applied to q (kk=0) and k (kk=1) blocks only
+    qkv_perm = np.arange(3 * h)
+    for kk in range(2):
+        for head in range(nh):
+            base = kk * h + head * d
+            qkv_perm[base : base + d] = base + perm_d
+
+    def permute_lin(p, out_perm):
+        new = dict(p)
+        w = np.asarray(p["w"])
+        full = np.arange(w.shape[-1])
+        full[: len(out_perm)] = out_perm
+        new["w"] = jnp.asarray(w[..., full])
+        if "b" in p:
+            b = np.asarray(p["b"])
+            new["b"] = jnp.asarray(b[..., full])
+        return new
+
+    def permute_norm(p):
+        return {
+            "q_scale": jnp.asarray(np.asarray(p["q_scale"])[..., perm_d]),
+            "k_scale": jnp.asarray(np.asarray(p["k_scale"])[..., perm_d]),
+        }
+
+    out = dict(params)
+    db = dict(params["double_blocks"])
+    for stream in ("img_attn", "txt_attn"):
+        s = dict(db[stream])
+        s["qkv"] = permute_lin(s["qkv"], qkv_perm)
+        s["norm"] = permute_norm(s["norm"])
+        db[stream] = s
+    out["double_blocks"] = db
+    sb = dict(params["single_blocks"])
+    sb["linear1"] = permute_lin(sb["linear1"], qkv_perm)  # first 3h cols are qkv
+    sb["norm"] = permute_norm(sb["norm"])
+    out["single_blocks"] = sb
+    return out
+
+
 # ----------------------------- LoRA -----------------------------
 
 def _lora_entry(state: State, key: str, dtype=None) -> Params | None:

@@ -22,7 +22,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .rope import apply_rope
+from .rope import apply_rope, apply_rope_half
 
 NEG_INF = -1e30
 
@@ -94,6 +94,7 @@ def attention(
     pe: tuple[jnp.ndarray, jnp.ndarray] | None,
     mask: jnp.ndarray | None = None,
     impl: str = "auto",
+    rope_layout: str = "interleaved",
 ) -> jnp.ndarray:
     """RoPE + masked MHA + head merge (ref: models/math.py:63-99).
 
@@ -108,8 +109,9 @@ def attention(
         cos, sin = pe
         cos = cos[:, None]  # broadcast over heads
         sin = sin[:, None]
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        rope_fn = apply_rope_half if rope_layout == "half" else apply_rope
+        q = rope_fn(q, cos, sin)
+        k = rope_fn(k, cos, sin)
     bias = mask_to_bias(mask)
     x = mha(q, k, v, bias=bias, impl=impl)
     b, h, l, d = x.shape

@@ -40,8 +40,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref, *
     base change) is folded into q once per (BQ, D) block, so the only
     (BQ, BK)-sized elementwise work per step is one add (bias), one max, one
     exp2 and one sum — exp2 has a fast VPU path while exp(x) lowers to extra
-    multiplies on the big tile. Transcendentals dominate this kernel's
-    runtime at head_dim 128 (measured: matmuls alone run at 85% MFU)."""
+    multiplies on the big tile. The kernel is VPU-bound at head_dim 128
+    (matmuls alone run at 85% MFU), so every big-tile pass counts; the
+    bias add is skipped entirely in the no-padding variant below."""
     ik = pl.program_id(3)
     nk = pl.num_programs(3)
 
@@ -57,7 +58,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref, *
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (BQ, BK), already in log2 units
-    s = s + bias_ref[0, 0][None, :]  # key-padding bias (pre-scaled to log2)
+    if bias_ref is not None:
+        s = s + bias_ref[0, 0][None, :]  # key-padding bias (pre-scaled to log2)
 
     m_prev = m_ref[:, 0]  # (BQ,)
     m_cur = jnp.max(s, axis=-1)  # (BQ,)
@@ -79,6 +81,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref, *
         o_ref[0, 0] = (acc_ref[:] / l[:, None]).astype(o_ref.dtype)
 
 
+def _flash_kernel_nobias(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale):
+    _flash_kernel(q_ref, k_ref, v_ref, None, o_ref, m_ref, l_ref, acc_ref, scale=scale)
+
+
 def _pick_block(length: int, preferred: int) -> int:
     """Largest power-of-two block (>=128, <=preferred) dividing `length`,
     assuming length is already a multiple of 128."""
@@ -98,9 +104,6 @@ def _flash_fwd(
 ) -> jnp.ndarray:
     b, h, lq, d = q.shape
     lk = k.shape[2]
-    if bias is None:
-        bias = jnp.zeros((b, lk), dtype=jnp.float32)
-    bias = bias.astype(jnp.float32)
 
     # pad sequence dims to a multiple of 128 (TPU lane width): padded keys get
     # -inf bias, padded query rows are sliced off the output
@@ -108,28 +111,38 @@ def _flash_fwd(
     lk_pad = (-lk) % 128
     if lq_pad:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad), (0, 0)))
+    if lk_pad and bias is None:
+        bias = jnp.zeros((b, lk), dtype=jnp.float32)
     if lk_pad:
         k = jnp.pad(k, ((0, 0), (0, 0), (0, lk_pad), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, lk_pad), (0, 0)))
-        bias = jnp.pad(bias, ((0, 0), (0, lk_pad)), constant_values=NEG_INF)
+        bias = jnp.pad(
+            bias.astype(jnp.float32), ((0, 0), (0, lk_pad)), constant_values=NEG_INF
+        )
     lq_p, lk_p = lq + lq_pad, lk + lk_pad
-    bias = bias * LOG2E  # kernel works in log2 space (see _flash_kernel)
-    bias = bias[:, None, :]  # (B, 1, Lk): TPU-legal block (1, 1, bk)
 
     bq = _pick_block(lq_p, block_q)
     bk = _pick_block(lk_p, block_k)
     grid = (b, h, lq_p // bq, lk_p // bk)
 
-    kernel = functools.partial(_flash_kernel, scale=d ** -0.5)
+    q_spec = pl.BlockSpec((1, 1, bq, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0))
+    kv_spec = pl.BlockSpec((1, 1, bk, d), lambda b_, h_, iq, ik: (b_, h_, ik, 0))
+    in_specs = [q_spec, kv_spec, kv_spec]
+    operands = [q, k, v]
+    if bias is not None:
+        # kernel works in log2 space (see _flash_kernel); (B, 1, Lk) gives a
+        # TPU-legal (1, 1, bk) block
+        bias = (bias.astype(jnp.float32) * LOG2E)[:, None, :]
+        in_specs.append(pl.BlockSpec((1, 1, bk), lambda b_, h_, iq, ik: (b_, 0, ik)))
+        operands.append(bias)
+        kernel = functools.partial(_flash_kernel, scale=d ** -0.5)
+    else:
+        kernel = functools.partial(_flash_kernel_nobias, scale=d ** -0.5)
+
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, bq, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0)),
-            pl.BlockSpec((1, 1, bk, d), lambda b_, h_, iq, ik: (b_, h_, ik, 0)),
-            pl.BlockSpec((1, 1, bk, d), lambda b_, h_, iq, ik: (b_, h_, ik, 0)),
-            pl.BlockSpec((1, 1, bk), lambda b_, h_, iq, ik: (b_, 0, ik)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, bq, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0)),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         scratch_shapes=[
@@ -145,7 +158,7 @@ def _flash_fwd(
             bytes_accessed=(2 * b * h * lq_p * d + 2 * b * h * lk_p * d) * q.dtype.itemsize,
             transcendentals=b * h * lq_p * lk_p,
         ),
-    )(q, k, v, bias)
+    )(*operands)
     return out[:, :, :lq] if lq_pad else out
 
 

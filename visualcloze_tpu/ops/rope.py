@@ -69,6 +69,24 @@ def embed_nd(
     return jnp.concatenate(coss, axis=-1), jnp.concatenate(sins, axis=-1)
 
 
+def apply_rope_half(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """Rotate q/k stored in the de-interleaved "half" layout.
+
+    Layout: the first D/2 channels hold the pair-even lanes, the last D/2 the
+    pair-odd lanes (per head). Because attention contracts q·k over D, any
+    fixed channel permutation applied consistently to q and k leaves the
+    output unchanged — so the qkv weight columns are pre-permuted offline
+    (models/weights.permute_rope_layout) and the rotation becomes two fused
+    multiply-adds and a concat with ZERO lane shuffles, vs. three interleave
+    permutes per tensor in the reference layout (a measurable VPU cost at
+    (B, 24, 4096, 128) per block).
+    """
+    x32 = x.astype(jnp.float32)
+    e, o = jnp.split(x32, 2, axis=-1)
+    out = jnp.concatenate([cos * e - sin * o, sin * e + cos * o], axis=-1)
+    return out.astype(x.dtype)
+
+
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
     """Rotate consecutive channel pairs of q/k by the (cos, sin) table.
 

@@ -71,8 +71,14 @@ class VisualClozeModel:
         time_shifting_factor: float = 1.0,
         attn_impl: str = "auto",
         max_length: int = 512,
+        rope_layout: str = "half",
     ):
         self.cfg = flux_cfg
+        if rope_layout == "half":
+            from ..models.weights import permute_rope_layout
+
+            flux_params = permute_rope_layout(flux_params, flux_cfg)
+        self.rope_layout = rope_layout
         self.params = flux_params
         self.ae = ae
         self.t5 = t5
@@ -88,7 +94,9 @@ class VisualClozeModel:
         self._encode_jit = jax.jit(lambda p, x, k: self._ae_with(p).encode(x, key=k))
         self._decode_jit = jax.jit(lambda p, z: self._ae_with(p).decode(z))
         self._denoise_jit = jax.jit(
-            functools.partial(_denoise, self.cfg, attn_impl=self.attn_impl),
+            functools.partial(
+                _denoise, self.cfg, attn_impl=self.attn_impl, rope_layout=rope_layout
+            ),
             static_argnames=("method",),
         )
 
@@ -179,6 +187,7 @@ class VisualClozeModel:
                 time_shifting_factor=self.time_shifting_factor,
             )
         )
+        full = bool(np.asarray(inp["img_mask"]).all())
         samples = self._denoise_jit(
             self.params,
             inp["img"].astype(jnp.bfloat16),
@@ -186,10 +195,10 @@ class VisualClozeModel:
             img_cond,
             inp["txt"].astype(jnp.bfloat16),
             inp["txt_ids"],
-            inp["txt_mask"],
+            None if full else inp["txt_mask"],
             inp["vec"].astype(jnp.bfloat16),
             inp["img_ids"],
-            inp["img_mask"],
+            None if full else inp["img_mask"],
             jnp.full((1,), cfg, jnp.bfloat16),
             method=self.solver,
         )
@@ -284,10 +293,10 @@ class VisualClozeModel:
             img_cond,
             inp["txt"].astype(jnp.bfloat16),
             inp["txt_ids"],
-            inp["txt_mask"],
+            None,  # single image: never padded
             inp["vec"].astype(jnp.bfloat16),
             inp["img_ids"],
-            inp["img_mask"],
+            None,
             jnp.full((1,), cfg, jnp.bfloat16),
             method=self.solver,
         )
@@ -310,6 +319,7 @@ def _denoise(
     guidance: jnp.ndarray,
     method: str = "euler",
     attn_impl: str = "auto",
+    rope_layout: str = "interleaved",
 ) -> jnp.ndarray:
     """The compiled hot loop: scan of Euler steps over the full DiT."""
 
@@ -318,7 +328,7 @@ def _denoise(
             flux_cfg, params,
             img=img, img_ids=img_ids, txt=txt, txt_ids=txt_ids,
             timesteps=timesteps, y=vec, txt_mask=txt_mask, img_mask=img_mask,
-            guidance=guidance, attn_impl=attn_impl,
+            guidance=guidance, attn_impl=attn_impl, rope_layout=rope_layout,
         )
 
     return denoise_ode(model_fn, x, ts, {}, cond=cond, method=method)
