@@ -33,7 +33,8 @@ V5E_PEAK_BF16 = 197e12  # FLOP/s
 
 # flagship sampling config (SURVEY.md §3.2): 2x3 grid @ 384 -> one row is
 # 384x1152 px -> latent 48x144 -> 1728 tokens; 2 rows = 3456 img tokens
-L_IMG, L_TXT = 3456, 512
+L_IMG, L_TXT = 3456, 512  # true image tokens (2x3 grid @ 384)
+L_IMG_PAD = 3584          # bucketed to keep txt+img a 512-multiple (serving config)
 STEPS = 30
 BENCH_DEPTH, BENCH_DEPTH_SINGLE = 4, 8
 
@@ -55,6 +56,8 @@ def main() -> None:
     from visualcloze_tpu.ops.schedule import ode_timesteps
     from visualcloze_tpu.transport.sampling import denoise_ode
 
+    from visualcloze_tpu.models.weights import permute_rope_layout
+
     full_cfg = FluxConfig()
     cfg = dataclasses.replace(
         full_cfg, depth=BENCH_DEPTH, depth_single_blocks=BENCH_DEPTH_SINGLE
@@ -62,32 +65,38 @@ def main() -> None:
     print(f"init {cfg.depth}+{cfg.depth_single_blocks}-block flagship-width DiT (bf16)...",
           file=sys.stderr)
     params = init_flux(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    # serving configuration: half-rope layout (pipeline default)
+    params = permute_rope_layout(params, cfg)
 
     rng = np.random.default_rng(0)
     b = 1
-    img_ids = np.zeros((b, L_IMG, 3), np.float32)
-    img_ids[:, :, 0] = np.repeat([1, 2], L_IMG // 2)
-    img_ids[:, :, 1] = np.tile(np.arange(L_IMG // 2) // 72, 2)
-    img_ids[:, :, 2] = np.tile(np.arange(L_IMG // 2) % 72, 2)
-    x = jnp.asarray(rng.standard_normal((b, L_IMG, 64)), jnp.bfloat16)
-    cond = jnp.asarray(rng.standard_normal((b, L_IMG, 320)), jnp.bfloat16)
+    img_ids = np.zeros((b, L_IMG_PAD, 3), np.float32)
+    img_ids[:, :L_IMG, 0] = np.repeat([1, 2], L_IMG // 2)
+    img_ids[:, :L_IMG, 1] = np.tile(np.arange(L_IMG // 2) // 72, 2)
+    img_ids[:, :L_IMG, 2] = np.tile(np.arange(L_IMG // 2) % 72, 2)
+    img_mask = np.zeros((b, L_IMG_PAD), np.int32)
+    img_mask[:, :L_IMG] = 1
+    x = jnp.asarray(rng.standard_normal((b, L_IMG_PAD, 64)), jnp.bfloat16)
+    cond = jnp.asarray(rng.standard_normal((b, L_IMG_PAD, 320)), jnp.bfloat16)
     txt = jnp.asarray(rng.standard_normal((b, L_TXT, cfg.context_in_dim)), jnp.bfloat16)
     txt_ids = jnp.zeros((b, L_TXT, 3), jnp.float32)
     vec = jnp.asarray(rng.standard_normal((b, cfg.vec_in_dim)), jnp.bfloat16)
     guidance = jnp.full((b,), 30.0, jnp.bfloat16)
     ids = jnp.asarray(img_ids)
+    mask = jnp.asarray(img_mask)
 
     @jax.jit
     def run(params, x, ts):
         def model_fn(img, timesteps, **_):
             return flux_apply(
                 cfg, params, img=img, img_ids=ids, txt=txt, txt_ids=txt_ids,
-                timesteps=timesteps, y=vec, guidance=guidance,
+                timesteps=timesteps, y=vec, guidance=guidance, rope_layout="half",
+                img_mask=mask,
             )
 
         return denoise_ode(model_fn, x, ts, {}, cond=cond)
 
-    ts = jnp.asarray(ode_timesteps(STEPS + 1, L_IMG, do_shift=True))  # 30 integration steps
+    ts = jnp.asarray(ode_timesteps(STEPS + 1, L_IMG, do_shift=True))  # 30 steps; mu from true length
     print("compiling + warmup...", file=sys.stderr)
     run(params, x, ts).block_until_ready()
 

@@ -175,14 +175,22 @@ class VisualClozeModel:
             axis=-1,
         )[None]
 
+        true_len = sum(h * w // 256 for (h, w) in sizes)
+        # bucket the sequence so txt(512)+img is a 512-multiple: the flash
+        # kernel's aligned path is ~3x faster than its internal-pad path
         inp = prepare_modified(
-            self.t5, self.clip, [noise_rows], [" ".join(prompts)], proportion_empty_prompts=0.0
+            self.t5, self.clip, [noise_rows], [" ".join(prompts)],
+            proportion_empty_prompts=0.0, bucket=512,
         )
+        if inp["img"].shape[1] > true_len:
+            # pad img_cond to the bucketed length too
+            pad = inp["img"].shape[1] - true_len
+            img_cond = jnp.pad(img_cond, ((0, 0), (0, pad), (0, 0)))
 
         ts = jnp.asarray(
             ode_timesteps(
                 steps,
-                int(inp["img"].shape[1]),
+                true_len,  # schedule mu from the true token count (parity)
                 do_shift=True,
                 time_shifting_factor=self.time_shifting_factor,
             )
@@ -273,8 +281,14 @@ class VisualClozeModel:
 
         noise = jax.random.normal(nk, latent.shape, dtype=jnp.float32).astype(jnp.bfloat16)
         inp = prepare_modified(
-            self.t5, self.clip, [[noise]], [content_prompt], proportion_empty_prompts=0.0
+            self.t5, self.clip, [[noise]], [content_prompt],
+            proportion_empty_prompts=0.0, bucket=512,
         )
+        true_len = latent_tok.shape[1]
+        if inp["img"].shape[1] > true_len:
+            pad = inp["img"].shape[1] - true_len
+            latent_tok = jnp.pad(latent_tok, ((0, 0), (0, pad), (0, 0)))
+            img_cond = jnp.pad(img_cond, ((0, 0), (0, pad), (0, 0)))
         x = inp["img"] * (1.0 - upsampling_noise) + latent_tok * upsampling_noise
 
         ts = jnp.asarray(
@@ -300,7 +314,7 @@ class VisualClozeModel:
             jnp.full((1,), cfg, jnp.bfloat16),
             method=self.solver,
         )
-        lat = unpatchify(samples, h // 8, w // 8)
+        lat = unpatchify(samples[:, :true_len], h // 8, w // 8)
         return pp.array_to_image(self.decode_latent(lat))
 
 

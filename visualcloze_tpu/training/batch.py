@@ -45,7 +45,7 @@ def prepare_train_batch(
     key: jax.Array,
     rng: np.random.Generator,
     caption_dropout: float = 0.1,
-    bucket: int = 256,
+    bucket: int = 512,
     compute_dtype=jnp.bfloat16,
 ) -> dict[str, jnp.ndarray]:
     """Build the train-step batch dict from dataset output.

@@ -86,7 +86,7 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--init_random", action="store_true",
                    help="random base weights (no FLUX checkpoint; smoke tests)")
     p.add_argument("--tiny", action="store_true", help="tiny model (smoke tests)")
-    p.add_argument("--max_seq_bucket", type=int, default=256)
+    p.add_argument("--max_seq_bucket", type=int, default=512)
     p.add_argument("--profile_dir", default=None)
     p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"],
                    help="compute dtype (bf16 on TPU; fp32 for CPU smoke tests "
