@@ -130,10 +130,14 @@ class Graph200KItemProcessor:
                 instruction.append("")
             return group_name, image_list, instruction, None, (len(image_list[0]), len(image_list))
 
-        # training: hconcat rows to [-1,1] float arrays (:143-150)
+        # training: hconcat rows to [-1,1] float arrays (:143-150); native
+        # fastops row assembly when the C extension is built
+        from ..utils.fastops import hconcat_normalize
+        from ..pipeline.preprocessing import to_rgb_if_rgba
+
         processed = []
         for images in image_list:
-            row = np.concatenate([image_to_array(img) for img in images], axis=1)
+            row = hconcat_normalize([np.asarray(to_rgb_if_rgba(img)) for img in images])
             processed.append(row)
 
         instruction = get_layout_instruction(len(image_list[0]), context_num)
