@@ -8,6 +8,7 @@ from .mesh import (
 )
 from .sharding import (
     constrain_batch,
+    shard_large_params,
     flux_param_spec,
     make_flux_shardings,
     replicate_tree,
@@ -17,6 +18,6 @@ from .sharding import (
 __all__ = [
     "AXES", "auto_mesh", "batch_sharding", "create_mesh",
     "initialize_distributed", "replicated",
-    "constrain_batch", "flux_param_spec", "make_flux_shardings",
+    "constrain_batch", "shard_large_params", "flux_param_spec", "make_flux_shardings",
     "replicate_tree", "shard_params",
 ]

@@ -128,6 +128,30 @@ def shard_params(params: Params, mesh: Mesh) -> Params:
     return jax.tree.map(jax.device_put, params, shardings)
 
 
+def shard_large_params(tree: Params, mesh: Mesh, min_size: int = 1 << 20) -> Params:
+    """Generic FSDP-style sharding for auxiliary models (frozen T5/CLIP, VAE):
+    every large weight is sharded along its biggest fsdp-divisible dim,
+    small leaves replicated. Replaces the reference's intra-node FSDP of the
+    frozen encoders (train.py:133-149, SURVEY.md §2.9 item 6) — on TPU the
+    fsdp mesh dim is ICI-local by construction (axis order, mesh.py)."""
+    fsdp = mesh.shape["fsdp"]
+
+    def spec_for(leaf):
+        if fsdp <= 1 or leaf.size < min_size:
+            return P(*([None] * leaf.ndim))
+        dims = sorted(range(leaf.ndim), key=lambda d: -leaf.shape[d])
+        for d in dims:
+            if leaf.shape[d] % fsdp == 0:
+                spec = [None] * leaf.ndim
+                spec[d] = "fsdp"
+                return P(*spec)
+        return P(*([None] * leaf.ndim))
+
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, spec_for(x))), tree
+    )
+
+
 def replicate_tree(tree: Params, mesh: Mesh) -> Params:
     rep = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, rep), tree)

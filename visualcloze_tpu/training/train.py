@@ -121,6 +121,12 @@ def main(argv=None) -> None:
 
         flux_cfg, params = load_flux_params(args.model_name, dtype=jnp.float32)
         ae, t5, clip = load_ae(), load_t5(), load_clip()
+        # frozen encoders: FSDP-shard large weights (ref train.py:133-149)
+        from ..parallel import shard_large_params
+
+        t5.params = shard_large_params(t5.params, mesh)
+        clip.params = shard_large_params(clip.params, mesh)
+        ae.params = shard_large_params(ae.params, mesh)
 
     lora = None
     if args.training_type == "lora":
