@@ -22,7 +22,7 @@ import jax
 from PIL import Image
 
 
-def parse_args():
+def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model_path", default=None, help="VisualCloze LoRA checkpoint")
     p.add_argument("--model_name", default="flux-dev-fill-lora")
@@ -41,11 +41,14 @@ def parse_args():
     p.add_argument("--no_upsampling", action="store_true")
     p.add_argument("-o", "--output", default="example.jpg")
     p.add_argument("--demo", action="store_true", help="tiny random model, no checkpoints")
-    return p.parse_args()
+    return p.parse_args(argv)
 
 
-def main():
-    args = parse_args()
+def main(argv=None):
+    args = parse_args(argv)
+    from visualcloze_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     if args.demo:
         from visualcloze_tpu.pipeline import random_components
 

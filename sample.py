@@ -21,7 +21,7 @@ from visualcloze_tpu.data import Graph200KItemProcessor, check_item_graph200k
 from visualcloze_tpu.data.prefix_instruction import test_task_dicts
 
 
-def parse_args():
+def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model_path", default=None)
     p.add_argument("--model_name", default="flux-dev-fill-lora")
@@ -35,7 +35,7 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max_items", type=int, default=0)
     p.add_argument("--demo", action="store_true", help="tiny random model")
-    return p.parse_args()
+    return p.parse_args(argv)
 
 
 def concat_images_grid(rows: list[list[Image.Image]]) -> Image.Image:
@@ -53,8 +53,11 @@ def concat_images_grid(rows: list[list[Image.Image]]) -> Image.Image:
     return canvas
 
 
-def main():
-    args = parse_args()
+def main(argv=None):
+    args = parse_args(argv)
+    from visualcloze_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     random.seed(args.seed)
     np.random.seed(args.seed)
 

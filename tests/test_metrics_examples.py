@@ -40,3 +40,51 @@ def test_examples_registry():
     assert len(out) == 8 + grid_h * grid_w
     grid = ex.rows(context_num=1)
     assert grid[-1][-1] is None and grid[0][0] is not None
+
+
+def test_sample_cli_demo_sweep(tmp_path):
+    """sample.py eval sweep end to end on a tiny model + synthetic test set."""
+    import json
+    import random
+
+    import numpy as np
+    from PIL import Image
+
+    import sample as sample_cli
+
+    random.seed(0)
+    items = []
+    for i in range(2):
+        img = Image.fromarray(
+            np.random.default_rng(i).integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        )
+        cond = {}
+        for name in ("target", "reference", "foreground", "canny", "depth",
+                     "openpose", "uniformer"):
+            p = tmp_path / f"{i}_{name}.png"
+            img.save(p)
+            cond[name] = str(p)
+        items.append({
+            "condition": cond,
+            "quality_assessment": {"objectConsistency": 5},
+            "description": {"item": f"i{i}", "description_0": "d"},
+        })
+    test_json = tmp_path / "test.json"
+    test_json.write_text(json.dumps(items))
+    out_dir = tmp_path / "out"
+    sample_cli.main([
+        "--test_json", str(test_json),
+        "--output_dir", str(out_dir),
+        "--demo", "--steps", "2", "--max_items", "1",
+    ])
+    manifest = json.loads((out_dir / "data.json").read_text())
+    assert len(manifest) >= 3
+    assert all((tmp_path / "out" / f"{m['id']}.jpg").exists() for m in manifest[:3])
+
+
+def test_inference_cli_demo(tmp_path):
+    import inference as inference_cli
+
+    out = tmp_path / "demo.jpg"
+    inference_cli.main(["--demo", "--steps", "2", "--no_upsampling", "-o", str(out)])
+    assert out.exists()

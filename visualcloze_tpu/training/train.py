@@ -98,6 +98,9 @@ def main(argv=None) -> None:
     args = parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="[%(asctime)s %(name)s] %(message)s")
     initialize_distributed()
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     n_dev = len(jax.devices())
     fsdp = args.fsdp or max(1, n_dev // (args.dp * args.tp))
