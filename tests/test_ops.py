@@ -292,3 +292,72 @@ def test_flash_attention_interpret_matches_xla():
         )
     want = mha_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), bias)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_backward_interpret_matches_xla_grads():
+    """Fused Pallas backward (interpret mode) vs XLA attention gradients."""
+    import unittest.mock as um
+
+    from visualcloze_tpu.ops import flash_attention as fa
+
+    rng = np.random.default_rng(7)
+    b, h, L, d = 1, 2, 256, 32
+    q = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+    mask = np.ones((b, L), np.int32)
+    mask[0, 200:] = 0
+    bias = mask_to_bias(jnp.asarray(mask))
+    g = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+    gm = g * jnp.asarray(mask)[:, None, :, None]  # masked-query do (wrapper contract)
+
+    orig = fa.pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        kwargs.pop("compiler_params", None)
+        return orig(*args, **kwargs)
+
+    with um.patch.object(fa.pl, "pallas_call", interp_call):
+        for bias_case in (bias, None):
+            do = gm if bias_case is not None else g
+            out, vjp = jax.vjp(lambda q_, k_, v_: fa.flash_mha(q_, k_, v_, bias_case), q, k, v)
+            dq, dk, dv = vjp(do)
+            want_out, want_vjp = jax.vjp(
+                lambda q_, k_, v_: mha_xla(q_, k_, v_, bias_case), q, k, v
+            )
+            wq, wk, wv = want_vjp(do)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(want_out), rtol=2e-4, atol=2e-4)
+            valid_q = mask[:, None, :, None] if bias_case is not None else np.ones((b, 1, L, 1))
+            np.testing.assert_allclose(
+                np.asarray(dq) * valid_q, np.asarray(wq) * valid_q, rtol=2e-3, atol=2e-3
+            )
+            np.testing.assert_allclose(np.asarray(dk), np.asarray(wk), rtol=2e-3, atol=2e-3)
+            np.testing.assert_allclose(np.asarray(dv), np.asarray(wv), rtol=2e-3, atol=2e-3)
+
+
+def test_flash_backward_nonaligned_length():
+    """Backward with internal padding (L not a lane multiple)."""
+    import unittest.mock as um
+
+    from visualcloze_tpu.ops import flash_attention as fa
+
+    rng = np.random.default_rng(8)
+    b, h, L, d = 1, 1, 200, 32
+    q = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+
+    orig = fa.pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        kwargs.pop("compiler_params", None)
+        return orig(*args, **kwargs)
+
+    with um.patch.object(fa.pl, "pallas_call", interp_call):
+        out, vjp = jax.vjp(lambda q_: fa.flash_mha(q_, q_, q_, None), q)
+        (dq,) = vjp(g)
+    want_out, want_vjp = jax.vjp(lambda q_: mha_xla(q_, q_, q_, None), q)
+    (wq,) = want_vjp(g)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want_out), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(wq), rtol=2e-3, atol=2e-3)
