@@ -94,3 +94,34 @@ def test_grad_through_sharded_params():
     # gradients inherit parameter shardings and are finite
     leaf = g["double_blocks"]["img_attn"]["qkv"]["w"]
     assert np.isfinite(np.asarray(jax.device_get(leaf))).all()
+
+
+def test_multichip_pipeline_inference():
+    """Full process_images with tp+fsdp sharded DiT params on the virtual
+    mesh — the multi-chip serving path."""
+    from PIL import Image
+
+    from visualcloze_tpu.pipeline import random_components
+
+    mesh = create_mesh(fsdp=2, tp=2)
+    model = random_components(
+        jax.random.PRNGKey(0), tiny=True, resolution=64, attn_impl="xla", mesh=mesh
+    )
+    model.set_grid_size(1, 2)
+    img = Image.new("RGB", (64, 64), (200, 30, 60))
+    out = model.process_images(
+        [[img, None]], ["layout", "task", "content"], seed=3, steps=2, is_upsampling=False
+    )
+    assert len(out) == 1 and out[0].size[0] % 16 == 0
+
+    # sharded and unsharded pipelines agree
+    model_ref = random_components(
+        jax.random.PRNGKey(0), tiny=True, resolution=64, attn_impl="xla"
+    )
+    model_ref.set_grid_size(1, 2)
+    ref = model_ref.process_images(
+        [[img, None]], ["layout", "task", "content"], seed=3, steps=2, is_upsampling=False
+    )
+    a = np.asarray(out[0], np.float32)
+    b = np.asarray(ref[0], np.float32)
+    assert np.abs(a - b).mean() < 2.0  # identical up to accumulation-order noise
