@@ -119,7 +119,8 @@ def main() -> None:
         f"bench(depth {cfg.depth}+{cfg.depth_single_blocks}): p50 {p50:.3f}s "
         f"({per_step * 1e3:.1f} ms/step, MFU {mfu:.1%}); "
         f"12B extrapolation x{scale:.2f} -> {full_latency:.2f}s / 30-step query; "
-        f"SOL {sol_latency:.2f}s",
+        f"SOL {sol_latency:.2f}s; throughput {1.0 / full_latency:.4f} img/s/chip "
+        f"(north-star secondary metric, BASELINE.md)",
         file=sys.stderr,
     )
     print(

@@ -182,3 +182,27 @@ def test_sde_with_zero_diffusion_matches_ode():
     )
     out_ode = denoise_ode(model_fn, x, ts, {})
     np.testing.assert_allclose(np.asarray(out_sde), np.asarray(out_ode), rtol=1e-4, atol=1e-5)
+
+
+def test_sde_heun_runs_and_zero_diffusion_matches_ode():
+    rng = np.random.default_rng(9)
+    w = rng.standard_normal((3, 3)).astype(np.float32) * 0.1
+
+    def model_fn(img, timesteps):
+        return img @ jnp.asarray(w)
+
+    transport = create_transport("Linear", "velocity", do_shift=False)
+    x = jnp.asarray(rng.standard_normal((1, 4, 3)).astype(np.float32))
+    ts = jnp.asarray(np.linspace(1.0, 0.0, 8, dtype=np.float32))
+    out_heun = denoise_sde(
+        transport, model_fn, jax.random.PRNGKey(0), x, ts, {},
+        diffusion_form="constant", diffusion_norm=0.0, last_step="Euler",
+        method="Heun",
+    )
+    # w=0: Heun degenerates to deterministic 2-stage ODE; finite and close to
+    # the euler ODE solution
+    out_ode = denoise_ode(model_fn, x, ts, {})
+    assert np.isfinite(np.asarray(out_heun)).all()
+    np.testing.assert_allclose(
+        np.asarray(out_heun), np.asarray(out_ode), rtol=0.2, atol=0.05
+    )

@@ -88,6 +88,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--tiny", action="store_true", help="tiny model (smoke tests)")
     p.add_argument("--max_seq_bucket", type=int, default=512)
     p.add_argument("--profile_dir", default=None)
+    p.add_argument("--use_tensorboard", action="store_true",
+                   help="log loss/grad_norm to results_dir/tb (tensorboardX)")
+    p.add_argument("--use_wandb", action="store_true")
+    p.add_argument("--wandb_project", default="visualcloze-tpu")
     p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"],
                    help="compute dtype (bf16 on TPU; fp32 for CPU smoke tests "
                         "where bf16 is emulated)")
@@ -206,6 +210,21 @@ def main(argv=None) -> None:
     )
     loader_iter = iter(loader)
 
+    # ----- loggers (ref train.py:252-269, 640-650) -----
+    tb_writer = None
+    if args.use_tensorboard:
+        from tensorboardX import SummaryWriter
+
+        tb_writer = SummaryWriter(os.path.join(args.results_dir, "tb"))
+    wandb_run = None
+    if args.use_wandb:
+        try:
+            import wandb
+
+            wandb_run = wandb.init(project=args.wandb_project, config=vars(args))
+        except Exception as e:  # wandb optional / offline
+            logger.warning("wandb unavailable (%s); continuing without it", e)
+
     # ----- loop (ref train.py:544-677) -----
     os.makedirs(ckpt_root, exist_ok=True)
     rng = np.random.default_rng(args.global_seed + process_index)
@@ -238,6 +257,12 @@ def main(argv=None) -> None:
                 "step %d loss %.4f (%s) grad_norm %.3f %s",
                 step, loss, loss_meter, gn, timer.summary(),
             )
+            if tb_writer is not None:
+                tb_writer.add_scalar("loss", loss, step)
+                tb_writer.add_scalar("grad_norm", gn, step)
+                tb_writer.add_scalar("lr", args.lr, step)
+            if wandb_run is not None:
+                wandb_run.log({"loss": loss, "grad_norm": gn, "lr": args.lr}, step=step)
 
         if (step + 1) % args.ckpt_every == 0 or step + 1 == args.max_steps:
             path = ckpt.save_checkpoint(
@@ -246,6 +271,8 @@ def main(argv=None) -> None:
             )
             logger.info("saved checkpoint %s", path)
 
+    if tb_writer is not None:
+        tb_writer.close()
     logger.info("done")
 
 

@@ -87,8 +87,9 @@ def denoise_sde(
     diffusion_form: str = "SBDM",
     diffusion_norm: float = 1.0,
     last_step: str = "Mean",
+    method: str = "Euler",
 ) -> jnp.ndarray:
-    """Euler–Maruyama SDE sampler sharing marginals with the flow ODE.
+    """Euler–Maruyama (or Heun) SDE sampler sharing marginals with the flow ODE.
 
     Flux-time translation of the reference's sde loop
     (transport/integrators.py:5-76, transport.py:252-359): with flux step
@@ -113,15 +114,37 @@ def denoise_sde(
     pairs = jnp.stack([timesteps[:-1], timesteps[1:]], axis=1)
     keys = jax.random.split(key, pairs.shape[0])
 
-    def step(x, inputs):
-        pair, k = inputs
-        t_cur, t_next = pair[0], pair[1]
-        ds = t_next - t_cur  # negative
-        v, score, w = drift_terms(x, t_cur)
-        noise = jax.random.normal(k, x.shape, dtype=jnp.float32)
-        x32 = x.astype(jnp.float32)
-        x32 = x32 + (v - w * score) * ds + jnp.sqrt(2 * w * jnp.abs(ds)) * noise
-        return x32.astype(x.dtype), None
+    def sde_drift(x32, t):
+        v, score, w = drift_terms(x32.astype(x.dtype), t)
+        return v - w * score, w
+
+    if method == "Euler":
+        def step(x, inputs):
+            pair, k = inputs
+            t_cur, t_next = pair[0], pair[1]
+            ds = t_next - t_cur  # negative
+            x32 = x.astype(jnp.float32)
+            drift, w = sde_drift(x32, t_cur)
+            noise = jax.random.normal(k, x.shape, dtype=jnp.float32)
+            x32 = x32 + drift * ds + jnp.sqrt(2 * w * jnp.abs(ds)) * noise
+            return x32.astype(x.dtype), None
+    elif method == "Heun":
+        # ref integrators.py:40-55: noise first, then a 2-stage drift average
+        def step(x, inputs):
+            pair, k = inputs
+            t_cur, t_next = pair[0], pair[1]
+            ds = t_next - t_cur
+            x32 = x.astype(jnp.float32)
+            noise = jax.random.normal(k, x.shape, dtype=jnp.float32)
+            _, w0 = sde_drift(x32, t_cur)
+            xhat = x32 + jnp.sqrt(2 * w0 * jnp.abs(ds)) * noise
+            k1, _ = sde_drift(xhat, t_cur)
+            xp = xhat + ds * k1
+            k2, _ = sde_drift(xp, t_next)
+            x32 = xhat + 0.5 * ds * (k1 + k2)
+            return x32.astype(x.dtype), None
+    else:
+        raise NotImplementedError(f"SDE method {method!r}")
 
     x, _ = jax.lax.scan(step, x, (pairs[:-1], keys[:-1]))
     # deterministic last step (ref transport.py:276-300): Mean = drift-only
@@ -241,7 +264,7 @@ class Sampler:
         last_step_size: float = 0.04,
         num_steps: int = 250,
     ):
-        del sampling_method, last_step_size
+        del last_step_size
 
         def sample_fn(x, model_fn, model_kwargs, key):
             kwargs = dict(model_kwargs)
@@ -250,7 +273,7 @@ class Sampler:
             return denoise_sde(
                 self.transport, model_fn, key, x, ts, kwargs, cond=cond,
                 diffusion_form=diffusion_form, diffusion_norm=diffusion_norm,
-                last_step=last_step,
+                last_step=last_step, method=sampling_method,
             )
 
         return sample_fn
