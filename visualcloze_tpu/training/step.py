@@ -108,9 +108,14 @@ def make_train_step(
     ema_decay: float | None = 0.95,
     attn_impl: str = "auto",
     remat: bool = True,
+    remat_policy: str | None = "dots",
     compute_dtype=jnp.bfloat16,
 ):
     """Build the jitted train step.
+
+    remat_policy: None = full recompute (reference checkpoint_wrapper parity);
+    "dots" = save matmul outputs, recompute elementwise (cheaper backward at
+    higher activation memory — pick per memory budget).
 
     The returned step takes batches shaped (accum, micro_bs, ...) — accum=1
     for no accumulation — and scans micro-batches, averaging gradients
@@ -142,6 +147,7 @@ def make_train_step(
                 lora=clora,
                 attn_impl=attn_impl,
                 remat=remat,
+                remat_policy=remat_policy,
                 **kw,
             )
 

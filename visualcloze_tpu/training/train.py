@@ -71,6 +71,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--use_model_ema", action="store_true")
     p.add_argument("--ema_decay", type=float, default=0.95)
     p.add_argument("--checkpointing", action="store_true", help="activation remat")
+    p.add_argument("--remat_policy", default="dots", choices=["dots", "full"],
+                   help="remat policy: dots saves matmul outputs (faster bwd), "
+                        "full recomputes everything (least memory)")
     # parallelism (mesh axes replace data_parallel fsdp/sdp flags)
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--fsdp", type=int, default=0, help="0 = all remaining devices")
@@ -163,6 +166,7 @@ def main(argv=None) -> None:
             flux_cfg, transport, optimizer, args.training_type,
             ema_decay=args.ema_decay if args.use_model_ema else None,
             remat=args.checkpointing,
+            remat_policy=None if args.remat_policy == "full" else args.remat_policy,
             compute_dtype=compute_dtype,
         ),
         donate_argnums=(0,),
