@@ -1,0 +1,70 @@
+"""int8 weight-only quantization tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visualcloze_tpu.config import FluxConfig
+from visualcloze_tpu.models.flux import flux_apply, init_flux
+from visualcloze_tpu.models.quant import (
+    dequantize_linear,
+    init_flux_int8,
+    quantize_flux_int8,
+    quantize_linear_int8,
+)
+
+CFG = FluxConfig().tiny()
+
+
+def test_quantize_roundtrip_error():
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((64, 32)).astype(np.float32) * 0.05
+    p = {"w": jnp.asarray(w), "b": jnp.zeros((32,))}
+    q = quantize_linear_int8(p)
+    assert q["w_int8"].dtype == jnp.int8
+    back = dequantize_linear(q)
+    rel = np.abs(np.asarray(back["w"]) - w).max() / np.abs(w).max()
+    assert rel < 1.0 / 127  # within one quantization step
+
+
+def test_quantized_flux_forward_close():
+    params = init_flux(jax.random.PRNGKey(0), CFG)
+    qparams = quantize_flux_int8(params)
+    rng = np.random.default_rng(1)
+    inp = dict(
+        img=jnp.asarray(rng.standard_normal((1, 8, CFG.in_channels)), jnp.float32),
+        img_ids=jnp.zeros((1, 8, 3)),
+        txt=jnp.asarray(rng.standard_normal((1, 4, CFG.context_in_dim)), jnp.float32),
+        txt_ids=jnp.zeros((1, 4, 3)),
+        timesteps=jnp.asarray([0.5]),
+        y=jnp.asarray(rng.standard_normal((1, CFG.vec_in_dim)), jnp.float32),
+        guidance=jnp.asarray([4.0]),
+    )
+    ref = np.asarray(flux_apply(CFG, params, **inp, attn_impl="xla"), np.float32)
+    got = np.asarray(flux_apply(CFG, qparams, **inp, attn_impl="xla"), np.float32)
+    # int8 weights + bf16 activations: outputs correlate strongly with bf16 ref
+    denom = max(np.abs(ref).max(), 1e-6)
+    assert np.abs(got - ref).mean() / denom < 0.15
+    corr = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
+    assert corr > 0.98
+
+
+def test_init_flux_int8_structure_and_memory():
+    params = init_flux_int8(jax.random.PRNGKey(0), CFG)
+    leaf = params["double_blocks"]["img_attn"]["qkv"]
+    assert leaf["w_int8"].dtype == jnp.int8
+    assert leaf["w_int8"].shape == (CFG.depth, CFG.hidden_size, 3 * CFG.hidden_size)
+    # int8 tree runs through the model
+    rng = np.random.default_rng(2)
+    out = flux_apply(
+        CFG, params,
+        img=jnp.asarray(rng.standard_normal((1, 8, CFG.in_channels)), jnp.float32),
+        img_ids=jnp.zeros((1, 8, 3)),
+        txt=jnp.asarray(rng.standard_normal((1, 4, CFG.context_in_dim)), jnp.float32),
+        txt_ids=jnp.zeros((1, 4, 3)),
+        timesteps=jnp.asarray([0.5]),
+        y=jnp.asarray(rng.standard_normal((1, CFG.vec_in_dim)), jnp.float32),
+        guidance=jnp.asarray([4.0]),
+        attn_impl="xla",
+    )
+    assert np.isfinite(np.asarray(out, np.float32)).all()

@@ -38,10 +38,22 @@ def _lora_delta(lora: Params, x: jnp.ndarray, scale) -> jnp.ndarray:
 
 
 def linear(p: Params, x: jnp.ndarray, lora: Params | None = None, lora_scale=1.0) -> jnp.ndarray:
-    """y = x @ W (+ b) (+ LoRA delta). W stored (in, out)."""
-    w = p["w"]
-    x = x.astype(w.dtype)
-    y = jnp.einsum("...i,io->...o", x, w)
+    """y = x @ W (+ b) (+ LoRA delta). W stored (in, out).
+
+    Also dispatches int8 weight-only entries (models/quant.py): storage int8,
+    compute bf16 — XLA fuses the convert into the matmul's weight loads."""
+    if "w_int8" in p:
+        x = x.astype(jnp.bfloat16)
+        # the barrier pins the int8->bf16 convert inside the (denoise) loop
+        # body: without it XLA hoists the loop-invariant converts and
+        # materializes the whole bf16 model (OOM on a 16 GB chip)
+        w_bf16 = jax.lax.optimization_barrier(p["w_int8"].astype(jnp.bfloat16))
+        y = jnp.einsum("...i,io->...o", x, w_bf16)
+        y = y * p["w_scale"].astype(y.dtype)
+    else:
+        w = p["w"]
+        x = x.astype(w.dtype)
+        y = jnp.einsum("...i,io->...o", x, w)
     if "b" in p:
         y = y + p["b"].astype(y.dtype)
     if lora is not None:
@@ -201,7 +213,10 @@ def last_layer(
     mod = linear(p["adaLN"], jax.nn.silu(vec), l.get("adaLN"), lora_scale).astype(jnp.float32)
     shift, scale = jnp.split(mod, 2, axis=-1)
     x = (1.0 + scale[:, None]) * layer_norm(x) + shift[:, None]
-    return linear(p["linear"], x.astype(p["linear"]["w"].dtype), l.get("linear"), lora_scale)
+    out_dtype = p["linear"].get("w", p["linear"].get("w_int8")).dtype
+    if out_dtype == jnp.int8:
+        out_dtype = jnp.bfloat16
+    return linear(p["linear"], x.astype(out_dtype), l.get("linear"), lora_scale)
 
 
 # ----------------------------- initializers -----------------------------

@@ -1,0 +1,136 @@
+"""Weight-only int8 quantization for single-chip serving.
+
+The 12B FLUX does not fit one v5e chip (16 GB HBM) in bf16. Symmetric
+per-output-channel int8 weights (scales fp32) halve weight HBM to ~12 GB:
+storage is int8, the MXU still computes in bf16 — XLA fuses the int8->bf16
+convert into the matmul's weight-tile loads, so HBM traffic halves while the
+convert cost is ~32/M of the MXU work (negligible at serving sequence
+lengths).
+
+This is an optional serving mode (quality/memory tradeoff); multi-chip bf16
+via the tp/fsdp mesh remains the default. Layout: a quantized linear entry
+carries {"w_int8": (..., in, out) int8, "w_scale": (..., out) fp32, "b": ...}
+and is dispatched by models/layers.linear.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+Params = dict[str, Any]
+
+
+def quantize_linear_int8(p: Params) -> Params:
+    """{"w", "b"?} -> {"w_int8", "w_scale", "b"?}; symmetric absmax per
+    output channel (last dim)."""
+    w = p["w"].astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)  # (..., 1, out)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    w_int8 = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    out = {"w_int8": w_int8, "w_scale": scale[..., 0, :].astype(jnp.float32)}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def dequantize_linear(p: Params, dtype=jnp.float32) -> Params:
+    w = p["w_int8"].astype(jnp.float32) * p["w_scale"][..., None, :]
+    out = {"w": w.astype(dtype)}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def quantize_flux_int8(params: Params) -> Params:
+    """Quantize every linear weight of a Flux pytree (norm scales and biases
+    stay in their original dtype)."""
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "w" in node:
+                return quantize_linear_int8(node)
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(params)
+
+
+def init_flux_int8(key: jax.Array, cfg, seed_scale: float = 0.02) -> Params:
+    """Random int8-quantized Flux params built directly on device (no fp32
+    intermediates — a 12B fp32 tree would not fit host/device memory).
+    Benchmarking/testing seam; real deployments quantize converted weights."""
+    from .flux import init_flux
+    from .layers import (
+        _init_linear,
+        init_double_block,
+        init_last_layer,
+        init_mlp_embedder,
+        init_single_block,
+    )
+
+    def rand_qlin(k, d_in, d_out, bias=True, lead=()):
+        k1, _ = jax.random.split(k)
+        # random.bits(uint8) + bitcast: randint would materialize uint32
+        # temps (4x the int8 size) — enough to OOM a 16 GB chip during the
+        # 12 GB tree's initialization
+        bits = jax.random.bits(k1, (*lead, d_in, d_out), dtype=jnp.uint8)
+        w8 = jax.lax.bitcast_convert_type(bits, jnp.int8)
+        p = {
+            "w_int8": w8,
+            "w_scale": jnp.full((*lead, d_out), seed_scale * d_in ** -0.5 / 127.0, jnp.float32),
+        }
+        if bias:
+            p["b"] = jnp.zeros((*lead, d_out), jnp.bfloat16)
+        return p
+
+    h, mh, d = cfg.hidden_size, cfg.mlp_hidden_dim, cfg.head_dim
+    ks = jax.random.split(key, 16)
+    D, S = cfg.depth, cfg.depth_single_blocks
+
+    def qnorm(lead):
+        return {
+            "q_scale": jnp.ones((*lead, d), jnp.bfloat16),
+            "k_scale": jnp.ones((*lead, d), jnp.bfloat16),
+        }
+
+    params = {
+        "img_in": rand_qlin(ks[0], cfg.in_channels, h),
+        "txt_in": rand_qlin(ks[1], cfg.context_in_dim, h),
+        "time_in": {"in_layer": rand_qlin(ks[2], 256, h), "out_layer": rand_qlin(ks[3], h, h)},
+        "vector_in": {"in_layer": rand_qlin(ks[4], cfg.vec_in_dim, h), "out_layer": rand_qlin(ks[5], h, h)},
+        "double_blocks": {
+            "img_mod": {"lin": rand_qlin(ks[6], h, 6 * h, lead=(D,))},
+            "txt_mod": {"lin": rand_qlin(ks[7], h, 6 * h, lead=(D,))},
+            "img_attn": {
+                "qkv": rand_qlin(ks[8], h, 3 * h, lead=(D,)),
+                "proj": rand_qlin(ks[9], h, h, lead=(D,)),
+                "norm": qnorm((D,)),
+            },
+            "txt_attn": {
+                "qkv": rand_qlin(ks[10], h, 3 * h, lead=(D,)),
+                "proj": rand_qlin(ks[11], h, h, lead=(D,)),
+                "norm": qnorm((D,)),
+            },
+            "img_mlp": {"0": rand_qlin(ks[12], h, mh, lead=(D,)), "2": rand_qlin(ks[13], mh, h, lead=(D,))},
+            "txt_mlp": {"0": rand_qlin(ks[14], h, mh, lead=(D,)), "2": rand_qlin(ks[15], mh, h, lead=(D,))},
+        },
+        "single_blocks": {
+            "linear1": rand_qlin(ks[0], h, 3 * h + mh, lead=(S,)),
+            "linear2": rand_qlin(ks[1], h + mh, h, lead=(S,)),
+            "norm": qnorm((S,)),
+            "modulation": {"lin": rand_qlin(ks[2], h, 3 * h, lead=(S,))},
+        },
+        "final_layer": {
+            "linear": rand_qlin(ks[3], h, cfg.out_channels),
+            "adaLN": rand_qlin(ks[4], h, 2 * h),
+        },
+    }
+    if cfg.guidance_embed:
+        params["guidance_in"] = {
+            "in_layer": rand_qlin(ks[5], 256, h),
+            "out_layer": rand_qlin(ks[6], h, h),
+        }
+    return params

@@ -129,13 +129,25 @@ def build_visualcloze(
     mesh=None,
     dtype=jnp.bfloat16,
     attn_impl: str = "auto",
+    quantize: str | None = None,
 ) -> VisualClozeModel:
     """Reference-parity constructor (visualcloze.py:79-139 signature).
 
     model_path: the trained VisualCloze LoRA checkpoint (.pth/.safetensors).
+    quantize="int8": weight-only int8 DiT (single-chip 12B serving,
+    models/quant.py). Caveat: feeding a pre-built 12 GB tree into the jitted
+    denoise program can trigger a whole-tree PJRT relayout copy that OOMs a
+    16 GB chip — prefer the multi-chip bf16 mesh, or load via
+    format-matched device_put (see bench.py's in-program pattern).
     """
     del lora_rank  # rank is read from the checkpoint shapes
     flux_cfg, params = load_flux_params(model_name, lora_path=model_path, dtype=dtype)
+    if quantize == "int8":
+        from ..models.quant import quantize_flux_int8
+
+        params = quantize_flux_int8(params)
+    elif quantize is not None:
+        raise ValueError(f"unknown quantize mode {quantize!r}")
     if mesh is not None:
         params = shard_params(params, mesh)
     return VisualClozeModel(
