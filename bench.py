@@ -153,6 +153,9 @@ def bench_int8_full(ts) -> float | None:
 
 def main() -> None:
     from visualcloze_tpu.ops.schedule import ode_timesteps
+    from visualcloze_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     ts = jnp.asarray(ode_timesteps(STEPS + 1, L_IMG, do_shift=True))
     slice_res = bench_bf16_slice(ts)

@@ -68,3 +68,15 @@ def test_init_flux_int8_structure_and_memory():
         attn_impl="xla",
     )
     assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_permute_rope_layout_on_quantized_tree():
+    """The loader quantizes then the pipeline applies the half-rope
+    permutation — the permuted int8 tree must match permute-then-quantize."""
+    from visualcloze_tpu.models.weights import permute_rope_layout
+
+    params = init_flux(jax.random.PRNGKey(0), CFG)
+    a = quantize_flux_int8(permute_rope_layout(params, CFG))
+    b = permute_rope_layout(quantize_flux_int8(params), CFG)
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -211,10 +211,13 @@ def permute_rope_layout(params: Params, cfg: FluxConfig) -> Params:
 
     def permute_lin(p, out_perm):
         new = dict(p)
-        w = np.asarray(p["w"])
+        w_key = "w" if "w" in p else "w_int8"  # int8-quantized entries too
+        w = np.asarray(p[w_key])
         full = np.arange(w.shape[-1])
         full[: len(out_perm)] = out_perm
-        new["w"] = jnp.asarray(w[..., full])
+        new[w_key] = jnp.asarray(w[..., full])
+        if "w_scale" in p:
+            new["w_scale"] = jnp.asarray(np.asarray(p["w_scale"])[..., full])
         if "b" in p:
             b = np.asarray(p["b"])
             new["b"] = jnp.asarray(b[..., full])
