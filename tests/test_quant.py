@@ -80,3 +80,30 @@ def test_permute_rope_layout_on_quantized_tree():
     b = permute_rope_layout(quantize_flux_int8(params), CFG)
     for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_int8_matmul_kernel_interpret():
+    """Pallas int8 matmul (interpret mode) vs the einsum reference."""
+    import unittest.mock as um
+
+    from visualcloze_tpu.ops import int8_matmul as im
+
+    rng = np.random.default_rng(3)
+    m, k, n = 200, 128, 256  # m non-aligned on purpose
+    x = jnp.asarray(rng.standard_normal((2, m // 2, k)), jnp.float32)
+    w8 = jnp.asarray(rng.integers(-127, 128, (k, n)), jnp.int8)
+    scale = jnp.asarray(rng.uniform(0.001, 0.01, (n,)), jnp.float32)
+
+    orig = im.pl.pallas_call
+
+    def interp(*a, **kw):
+        kw.setdefault("interpret", True)
+        kw.pop("compiler_params", None)
+        return orig(*a, **kw)
+
+    with um.patch.object(im.pl, "pallas_call", interp):
+        got = im.int8_matmul(x, w8, scale, out_dtype=jnp.float32)
+    want = jnp.einsum(
+        "...i,io->...o", x.astype(jnp.bfloat16), w8.astype(jnp.bfloat16)
+    ).astype(jnp.float32) * scale
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
