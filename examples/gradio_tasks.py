@@ -130,3 +130,48 @@ def process_tasks(example: TaskExample, context_num: int = 1):
     )
     images = [cell for row in grid for cell in row]
     return [example.mask_count, grid_h, grid_w, layout, task, content, 0.4, 30, *images]
+
+
+def _simple_family(name: str, type_list: list[str], ids: list[str]) -> list[TaskExample]:
+    return [
+        TaskExample(name=name, image_type_list=type_list, file_ids=ids,
+                    prompts=["a photo"] * len(ids))
+    ]
+
+
+# remaining reference gallery families (examples/gradio_tasks*.py); assets
+# resolve if present under EXAMPLES_ROOT, otherwise the family lists empty
+register_task_family("restoration", [
+    TaskExample(name=f"{deg} restoration", image_type_list=[deg, "target"],
+                file_ids=["rest_0", "rest_1"], prompts=["a photo", "a photo"])
+    for deg in ("GaussianNoise", "GaussianBlur", "JPEG", "LowLight")
+])
+register_task_family("style_transfer", _simple_family(
+    "style transfer", ["style_source", "style_target"], ["style_0", "style_1"]))
+register_task_family("style_condition", _simple_family(
+    "style transfer with canny", ["canny", "style_source", "style_target"],
+    ["style_0", "style_1"]))
+register_task_family("tryon", _simple_family(
+    "virtual try-on", ["reference", "mask", "target"], ["tryon_0", "tryon_1"]))
+register_task_family("relighting", _simple_family(
+    "relighting", ["target", "reference"], ["relight_0", "relight_1"]))
+register_task_family("photodoodle", _simple_family(
+    "photo doodle", ["target", "reference"], ["doodle_0", "doodle_1"]))
+register_task_family("editing", _simple_family(
+    "depth-guided editing", ["DepthEdit", "target"], ["edit_0", "edit_1"]))
+register_task_family("editing_reference", _simple_family(
+    "editing with reference", ["reference", "FillEdit", "target"],
+    ["edit_0", "edit_1"]))
+register_task_family("subject_generation", _simple_family(
+    "subject-driven generation", ["reference", "target"], ["subj_0", "subj_1"]))
+register_task_family("subject_condition", _simple_family(
+    "subject + depth", ["reference", "depth", "target"], ["subj_0", "subj_1"]))
+register_task_family("subject_style", _simple_family(
+    "subject + style", ["style_source", "reference", "target"],
+    ["subj_0", "subj_1"]))
+register_task_family("subject_extraction", _simple_family(
+    "subject extraction", ["target", "foreground"], ["dense_0", "dense_1"]))
+register_task_family("image_generation", _simple_family(
+    "reference generation", ["reference", "target"], ["cond_0", "cond_1"]))
+register_task_family("unseen_tasks", _simple_family(
+    "unseen in-context task", ["mask", "target"], ["unseen_0", "unseen_1"]))
