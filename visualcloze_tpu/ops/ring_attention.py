@@ -21,9 +21,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from .attention import mha_xla  # noqa: F401  (oracle counterpart)
-
-
 def _chunk_attention_lse(q, k, v, bias, impl: str):
     """Chunk attention returning (o (B,H,Lq,D), lse (B,H,Lq) in log2 units)."""
     if impl == "pallas":

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from ..models.autoencoder import AutoEncoder
 from ..models.sampling import prepare_modified
-from ..ops.packing import bucket_length, make_img_ids, pack_mask, patchify
+from ..ops.packing import pack_mask, patchify
 
 
 def sample_random_mask(
