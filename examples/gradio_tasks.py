@@ -119,7 +119,7 @@ def process_tasks(example: TaskExample, context_num: int = 1):
     steps, *image_paths]."""
     grid = example.rows(context_num)
     grid_h, grid_w = len(grid), len(grid[0])
-    prompts = [random.choice(get_image_prompt(t)) for t in example.image_type_list]
+    prompts = [p for t in example.image_type_list for p in get_image_prompt(t)]
     prompts = [f"[IMAGE{i + 1}] {p}" for i, p in enumerate(prompts)]
     layout = get_layout_instruction(grid_w, grid_h)
     task = get_task_instruction(", ".join(prompts[:-1]), prompts[-1])

@@ -93,7 +93,7 @@ def main(argv=None):
     for item_idx, item in enumerate(items):
         for context_num in (1, 2, 3):
             for task in test_task_dicts:
-                for row_spec in task["image_type_list"]:
+                for row_spec in task["image_list"]:
                     sample_id = f"{item_idx}_{context_num}_{task['task_name']}_{'-'.join(row_spec)}"
                     if sample_id in collected:
                         continue

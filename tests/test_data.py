@@ -57,10 +57,66 @@ def test_task_registry_structure():
     assert "restoration" in names and "conditional generation" in names
     for t in graph200k_task_dicts:
         assert t["sample_weight"] > 0
-        for row in t["image_type_list"]:
+        for row in t["image_list"]:
             for img_type in row:
                 get_image_prompt(img_type)  # every type resolves to templates
-    assert len(test_task_dicts) >= 6
+    assert len(test_task_dicts) == 11  # reference has 11 eval groups
+
+
+def _reference_registry_literals():
+    """Parse the reference registry literals with ast (static data only — no
+    untrusted code is executed). Returns None when the reference tree is
+    absent (e.g. CI without the upstream checkout)."""
+    import ast
+    from pathlib import Path
+
+    path = Path("/root/reference/data/prefix_instruction.py")
+    if not path.exists():
+        return None
+    tree = ast.parse(path.read_text())
+    wanted = {
+        "condition_list", "style_list", "editing_list", "degradation_list",
+        "graph200k_task_dicts", "test_task_dicts",
+    }
+    out = {}
+    for node in tree.body:
+        if isinstance(node, ast.Assign) and len(node.targets) == 1:
+            target = node.targets[0]
+            if isinstance(target, ast.Name) and target.id in wanted:
+                out[target.id] = ast.literal_eval(node.value)
+    return out
+
+
+def test_registry_matches_reference_key_for_key():
+    """Graph200K task-space parity: same type lists, same task groups, same
+    image_list compositions and weights as the reference registry."""
+    ref = _reference_registry_literals()
+    if ref is None:
+        pytest.skip("reference tree not available")
+    from visualcloze_tpu.data import prefix_instruction as pi
+
+    assert pi.condition_list == ref["condition_list"]
+    assert pi.style_list == ref["style_list"]
+    assert pi.editing_list == ref["editing_list"]
+    assert pi.degradation_list == ref["degradation_list"]
+
+    for ours, theirs, label in [
+        (pi.graph200k_task_dicts, ref["graph200k_task_dicts"], "train"),
+        (pi.test_task_dicts, ref["test_task_dicts"], "test"),
+    ]:
+        assert len(ours) == len(theirs), label
+        for o, t in zip(ours, theirs):
+            assert o["task_name"] == t["task_name"], label
+            assert o["sample_weight"] == t["sample_weight"], (label, o["task_name"])
+            assert o["image_list"] == t["image_list"], (label, o["task_name"])
+
+
+def test_every_registry_degradation_dispatches():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    for deg in degradation_list:
+        out = add_degradation(img, deg, rng=np.random.default_rng(1))
+        assert out.shape == img.shape and out.dtype == np.uint8, deg
 
 
 def test_layout_instruction_mentions_counts():
@@ -128,7 +184,7 @@ def dataset(tmp_path):
             {
                 "task_name": "conditional generation",
                 "sample_weight": 1.0,
-                "image_type_list": [["canny", "target"], ["depth", "target"]],
+                "image_list": [["canny", "target"], ["depth", "target"]],
             }
         ]
     }

@@ -94,7 +94,7 @@ class Graph200KItemProcessor:
 
         image_prompt_list: list[str] = []
         for image_type in image_type_list:
-            image_prompt_list += get_image_prompt_columns(image_type)
+            image_prompt_list += get_image_prompt(image_type)
 
         # jointly shuffle the context columns with their prompts (:121-126)
         if training_mode:
@@ -152,11 +152,3 @@ class Graph200KItemProcessor:
                 + data_item[i]["description"]["description_0"]
             )
         return group_name, processed, instruction, None, (len(image_list[0]), len(image_list))
-
-
-def get_image_prompt_columns(image_type: str) -> list[str]:
-    """One randomly chosen prompt per produced column: style types yield two
-    images (style, content) and therefore two prompt entries."""
-    prompts = get_image_prompt(image_type)
-    n_cols = 2 if image_type in style_list else 1
-    return [random.choice(prompts) for _ in range(n_cols)]

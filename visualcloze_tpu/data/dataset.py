@@ -190,7 +190,7 @@ class GridDataset:
             tried: set[int] = {idx}
             context_num = random.choices([1, 2, 3], weights=[0.3, 0.4, 0.3])[0]
             task_type = random.choices(tasks, weights=task_weights)[0]
-            image_type_list = random.choice(task_type["image_type_list"])
+            image_type_list = random.choice(task_type["image_list"])
             try:
                 index_list: list[int] = []
                 if check_item(idx, image_type_list):

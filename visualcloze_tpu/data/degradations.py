@@ -164,6 +164,72 @@ def contrast(img, rng=None, factor=None):
     return _clip((img.astype(np.float32) - mean) * factor + mean)
 
 
+def contrast_strengthen(img, rng=None, factor=None):
+    """Scale contrast up about the mean (ref x_distortion/contrast.py
+    strengthen_scale/stretch family)."""
+    rng = _rng(rng)
+    factor = factor if factor is not None else rng.uniform(1.4, 2.5)
+    return contrast(img, rng, factor=factor)
+
+
+def contrast_weaken(img, rng=None, factor=None):
+    rng = _rng(rng)
+    factor = factor if factor is not None else rng.uniform(0.3, 0.7)
+    return contrast(img, rng, factor=factor)
+
+
+def brighten(img, rng=None, gamma=None):
+    """Brighten via gamma + shift mix (ref x_distortion/brightness.py
+    brighten_shift/gamma HSV/RGB family)."""
+    rng = _rng(rng)
+    gamma = gamma if gamma is not None else rng.uniform(0.45, 0.8)
+    x = _to_float(img) ** gamma
+    return _from_float(x)
+
+
+def darken(img, rng=None, gamma=None):
+    rng = _rng(rng)
+    gamma = gamma if gamma is not None else rng.uniform(1.3, 2.2)
+    x = _to_float(img) ** gamma
+    return _from_float(x)
+
+
+def _scale_saturation(img, factor):
+    hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV).astype(np.float32)
+    hsv[..., 1] = np.clip(hsv[..., 1] * factor, 0, 255)
+    return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+
+
+def saturate_strengthen(img, rng=None, factor=None):
+    rng = _rng(rng)
+    factor = factor if factor is not None else rng.uniform(1.5, 3.0)
+    return _scale_saturation(img, factor)
+
+
+def saturate_weaken(img, rng=None, factor=None):
+    rng = _rng(rng)
+    factor = factor if factor is not None else rng.uniform(0.1, 0.5)
+    return _scale_saturation(img, factor)
+
+
+def gray(img, rng=None):
+    g = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+    return np.stack([g] * 3, axis=-1)
+
+
+def color_distortion(img, rng=None):
+    """Channel shuffle, or zero/saturate one channel (ref
+    degradation_utils.py:147-158)."""
+    rng = _rng(rng)
+    if rng.random() < 0.5:
+        channels = rng.permutation(3)
+        return img[..., channels].copy()
+    out = img.copy()
+    channel = int(rng.integers(0, 3))
+    out[..., channel] = 0 if rng.random() < 0.5 else 255
+    return out
+
+
 def brightness(img, rng=None, delta=None):
     rng = _rng(rng)
     delta = delta if delta is not None else rng.uniform(40, 100)
@@ -357,6 +423,22 @@ def rotate270(img, rng=None):
 
 # ----------------------------- dispatch -----------------------------
 
+def _blur_family(img, rng=None):
+    """The x_distortion 'blur' family key picks a random variant (ref
+    degradation_utils.py:83-97 + x_distortion/__init__.py:51-58)."""
+    rng = _rng(rng)
+    variant = [gaussian_blur, motion_blur, glass_blur, defocus_blur, zoom_blur][
+        int(rng.integers(0, 5))
+    ]
+    return variant(img, rng)
+
+
+def _noise_family(img, rng=None):
+    rng = _rng(rng)
+    variant = [gaussian_noise, poisson_noise, sp_noise][int(rng.integers(0, 3))]
+    return variant(img, rng)
+
+
 _DISPATCH = {
     "GaussianNoise": gaussian_noise,
     "PoissonNoise": poisson_noise,
@@ -388,7 +470,8 @@ _DISPATCH = {
     "rotate90": rotate90,
     "rotate180": rotate180,
     "rotate270": rotate270,
-    "blur": gaussian_blur,
+    "blur": _blur_family,
+    "noise": _noise_family,
     "compression": jpeg_compress,
     "SRx2": lambda img, rng=None: super_resolution_degrade(img, 2, rng),
     "SRx4": lambda img, rng=None: super_resolution_degrade(img, 4, rng),
@@ -397,6 +480,23 @@ _DISPATCH = {
     "oversharpen": oversharpen,
     "quantization": quantization,
     "spatter": spatter,
+    "Spatter": spatter,
+    "Resize": lambda img, rng=None: super_resolution_degrade(img, 2, rng),
+    # reference registry keys (ref prefix_instruction.py:6-51 /
+    # degradation_utils.py:11-72) not covered above
+    "Defocus": defocus_blur,
+    "Mosaic": bayer_mosaic,
+    "contrast_strengthen": contrast_strengthen,
+    "contrast_weaken": contrast_weaken,
+    "brighten": brighten,
+    "darken": darken,
+    "saturate_strengthen": saturate_strengthen,
+    "saturate_weaken": saturate_weaken,
+    "gray": gray,
+    "ColorDistortion": color_distortion,
+    "Barrel": barrel,
+    "Pincushion": pincushion,
+    "identity": lambda img, rng=None: img.copy(),
 }
 
 

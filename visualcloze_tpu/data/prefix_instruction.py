@@ -20,6 +20,13 @@ import random
 
 condition_list = [
     "canny", "depth", "hed", "normal", "mlsd", "openpose", "sam2_mask",
+    "mask", "foreground", "background", "uniformer",
+]
+
+# ordering used inside the task registries (ref :736-747 — uniformer sits
+# before mask there, unlike condition_list)
+_TASK_CONDS = [
+    "canny", "depth", "hed", "normal", "mlsd", "openpose", "sam2_mask",
     "uniformer", "mask", "foreground", "background",
 ]
 
@@ -27,18 +34,53 @@ style_list = ["InstantStyle", "ReduxStyle"]
 
 editing_list = ["DepthEdit", "FillEdit"]
 
+# Key-for-key the reference's restoration task space
+# (ref data/prefix_instruction.py:6-51) so Graph200K runs are reproducible.
 degradation_list = [
-    # x_distortion families
-    "blur", "compression", "SRx2", "SRx4", "pixelate", "Denoise",
-    "oversharpen", "jpeg", "quantization", "spatter",
-    # functional degradations
-    "GaussianNoise", "PoissonNoise", "SPNoise", "GaussianBlur", "DefocusBlur",
-    "GlassBlur", "MotionBlur", "ZoomBlur", "Frost", "Rain", "Contrast",
-    "Brightness", "Darkness", "JPEG", "Inpainting", "LowLight", "Ringing",
-    "r_l", "Elastic",
-    # operators
-    "Laplacian", "Canny", "Sobel", "mosaic", "barrel", "pincushion",
-    "flip", "rotate90", "rotate180", "rotate270",
+    # blur
+    "blur",
+    "compression",
+    "SRx2",
+    "SRx4",
+    "pixelate",
+    "Defocus",
+    "GaussianBlur",
+    # sharpen
+    "oversharpen",
+    # noise
+    "GaussianNoise",
+    "PoissonNoise",
+    "SPNoise",
+    # mosaic
+    "mosaic",
+    # contrast
+    "contrast_strengthen",
+    "contrast_weaken",
+    # quantization
+    "quantization",
+    "JPEG",
+    # light
+    "brighten",
+    "darken",
+    "LowLight",
+    # color
+    "saturate_strengthen",
+    "saturate_weaken",
+    "gray",
+    "ColorDistortion",
+    # infilling
+    "Inpainting",
+    # rotate
+    "rotate90",
+    "rotate180",
+    "rotate270",
+    # other
+    "Barrel",
+    "Pincushion",
+    "Elastic",
+    # spacial effect
+    "Rain",
+    "Frost",
 ]
 
 
@@ -103,13 +145,17 @@ _IMAGE_PROMPTS: dict[str, list[str]] = {
         "the background with the subject removed",
         "the scene with the main object erased",
     ],
-    "InstantStyle": [
-        "an image rendered in a distinctive artistic style",
-        "a stylized variant sharing the palette of its style pair",
+    # style types expand into two columns: the style source swatch and the
+    # stylized content image (ref :676-677 returns one prompt for each)
+    "style_source": [
+        "an image that defines the artistic style to imitate",
+        "a swatch carrying the palette and brushwork of the style",
+        "the style exemplar whose look should be borrowed",
     ],
-    "ReduxStyle": [
-        "a style-transferred rendition of the content",
-        "an image re-imagined with a style prior",
+    "style_target": [
+        "an image rendered in that distinctive artistic style",
+        "a stylized variant sharing the palette of its style pair",
+        "the content re-imagined with the exemplar's style",
     ],
     "DepthEdit": [
         "a new image generated from the depth layout",
@@ -131,7 +177,19 @@ def _degradation_prompt(deg: str) -> list[str]:
 
 
 def get_image_prompt(image_type: str) -> list[str]:
-    """All template variants for one image type (ref :54-682)."""
+    """One randomly chosen prompt per column the type produces (ref :676-681):
+    style types yield [style-source prompt, style-target prompt]; every other
+    type yields a single-element list."""
+    if image_type in style_list:
+        return [
+            random.choice(_IMAGE_PROMPTS["style_source"]),
+            random.choice(_IMAGE_PROMPTS["style_target"]),
+        ]
+    return [random.choice(get_image_prompt_variants(image_type))]
+
+
+def get_image_prompt_variants(image_type: str) -> list[str]:
+    """All template variants for one (single-column) image type (ref :54-682)."""
     if image_type in _IMAGE_PROMPTS:
         return _IMAGE_PROMPTS[image_type]
     if image_type in degradation_list:
@@ -192,101 +250,154 @@ def get_content_instruction() -> str:
 
 
 # ----------------------------- task registries -----------------------------
+# Row specs are key-for-key the reference's (ref data/prefix_instruction.py:
+# 732-971 train, 974-1085 test) so a reference Graph200K run reproduces here:
+# same 12 train / 11 test groups, same image_list compositions and weights.
+# Style types occupy the LAST slot of their rows — they expand to two columns
+# (style source, stylized target), making the stylized image the target cell.
 
-def _cond(c):
-    return {"image_list": [[c, "target"]], "condition": c}
-
+# conditions that support a given composition family (exact reference subsets)
+_COND_WITH_REF = [c for c in _TASK_CONDS if c != "foreground"]  # ref :754-764
+_COND_WITH_STYLE = _TASK_CONDS[:9]  # canny..uniformer, mask (ref :771-789)
+_DENSE_CONDS = _TASK_CONDS[:8]  # canny..uniformer (ref :850-857)
 
 graph200k_task_dicts: list[dict] = [
     {
         "task_name": "conditional generation",
-        "sample_weight": 1.0,
-        "image_type_list": [[c, "target"] for c in condition_list],
+        "sample_weight": 1,
+        "image_list": [[c, "target"] for c in _TASK_CONDS],
     },
     {
         "task_name": "conditional generation with reference",
-        "sample_weight": 1.0,
-        "image_type_list": [["reference", c, "target"] for c in condition_list],
+        "sample_weight": 1,
+        "image_list": [["reference", c, "target"] for c in _COND_WITH_REF],
     },
     {
         "task_name": "conditional generation with style",
-        "sample_weight": 1.0,
-        "image_type_list": [
-            [style, c, "target"] for style in style_list for c in condition_list
-        ],
+        "sample_weight": 1,
+        "image_list": [[c, "InstantStyle"] for c in _COND_WITH_STYLE]
+        + [[c, "ReduxStyle"] for c in _COND_WITH_STYLE],
     },
     {
-        "task_name": "reference generation",
-        "sample_weight": 1.0,
-        "image_type_list": [["reference", "target"]],
+        "task_name": "image generation with reference",
+        "sample_weight": 1,
+        "image_list": [["reference", "target"]],
     },
     {
         "task_name": "subject extraction",
-        "sample_weight": 1.0,
-        "image_type_list": [["target", "foreground"], ["target", "background"]],
+        "sample_weight": 1,
+        "image_list": [["target", "reference"]],
     },
     {
         "task_name": "style transfer",
-        "sample_weight": 1.0,
-        "image_type_list": [[style, "target"] for style in style_list],
-    },
-    {
-        "task_name": "style transfer with condition",
-        "sample_weight": 1.0,
-        "image_type_list": [
-            [c, style, "target"] for style in style_list for c in ("canny", "depth")
+        "sample_weight": 1,
+        "image_list": [
+            ["target", "InstantStyle"],
+            ["target", "ReduxStyle"],
+            ["reference", "InstantStyle"],
         ],
     },
     {
+        "task_name": "style transfer with condition",
+        "sample_weight": 1,
+        "image_list": [["reference", c, "InstantStyle"] for c in _COND_WITH_STYLE],
+    },
+    {
         "task_name": "image editing",
-        "sample_weight": 1.0,
-        "image_type_list": [[e, "target"] for e in editing_list],
+        "sample_weight": 1,
+        "image_list": [[e, "target"] for e in editing_list],
     },
     {
         "task_name": "image editing with reference",
-        "sample_weight": 1.0,
-        "image_type_list": [["reference", e, "target"] for e in editing_list],
+        "sample_weight": 1,
+        "image_list": [["reference", e, "target"] for e in editing_list],
     },
     {
         "task_name": "dense prediction",
-        "sample_weight": 1.0,
-        "image_type_list": [["target", c] for c in condition_list if c not in ("mask",)],
+        "sample_weight": 1,
+        "image_list": [["target", c] for c in _DENSE_CONDS],
     },
     {
         "task_name": "restoration",
-        "sample_weight": 1.0,
-        "image_type_list": [[deg, "target"] for deg in degradation_list],
+        "sample_weight": 1,
+        "image_list": [[deg, "target"] for deg in degradation_list],
     },
     {
         "task_name": "restoration with reference",
-        "sample_weight": 1.0,
-        "image_type_list": [["reference", deg, "target"] for deg in degradation_list],
+        "sample_weight": 1,
+        "image_list": [["reference", deg, "target"] for deg in degradation_list],
     },
 ]
 
 test_task_dicts: list[dict] = [
     {
         "task_name": "conditional generation",
-        "image_type_list": [[c, "target"] for c in condition_list],
+        "sample_weight": 1,
+        "image_list": [[c, "target"] for c in _TASK_CONDS],
     },
     {
-        "task_name": "dense prediction",
-        "image_type_list": [["target", c] for c in ("canny", "depth", "openpose", "uniformer")],
+        "task_name": "image generation with reference",
+        "sample_weight": 1,
+        "image_list": [["reference", "target"]],
     },
     {
-        "task_name": "restoration",
-        "image_type_list": [[deg, "target"] for deg in ("GaussianNoise", "GaussianBlur", "JPEG", "LowLight")],
-    },
-    {
-        "task_name": "reference generation",
-        "image_type_list": [["reference", "target"]],
+        "task_name": "conditional generation with reference",
+        "sample_weight": 1,
+        "image_list": [
+            ["reference", "depth", "target"],
+            ["reference", "openpose", "target"],
+        ],
     },
     {
         "task_name": "subject extraction",
-        "image_type_list": [["target", "foreground"]],
+        "sample_weight": 0.2,
+        "image_list": [["target", "reference"]],
+    },
+    {
+        "task_name": "dense prediction",
+        "sample_weight": 1,
+        "image_list": [["target", "depth"], ["target", "openpose"]],
+    },
+    {
+        "task_name": "restoration",
+        "sample_weight": 1,
+        "image_list": [
+            ["GaussianBlur", "target"],
+            ["Inpainting", "target"],
+            ["rotate90", "target"],
+            ["Elastic", "target"],
+        ],
+    },
+    {
+        "task_name": "restoration with reference",
+        "sample_weight": 1,
+        "image_list": [["reference", "Inpainting", "target"]],
+    },
+    {
+        "task_name": "image editing with reference",
+        "sample_weight": 1,
+        "image_list": [
+            ["reference", "DepthEdit", "target"],
+            ["reference", "FillEdit", "target"],
+        ],
     },
     {
         "task_name": "style transfer",
-        "image_type_list": [[style, "target"] for style in style_list],
+        "sample_weight": 1,
+        "image_list": [
+            ["target", "InstantStyle"],
+            ["target", "ReduxStyle"],
+            ["reference", "InstantStyle"],
+        ],
+    },
+    {
+        "task_name": "style transfer with condition",
+        "sample_weight": 1,
+        "image_list": [["reference", c, "InstantStyle"] for c in _COND_WITH_STYLE],
+    },
+    {
+        "task_name": "subject extraction",
+        "sample_weight": 1,
+        "image_list": [["target", "reference"]],
     },
 ]
