@@ -80,6 +80,7 @@ def test_trainer_cli_smoke(tmp_path):
             "--log_every", "1",
             "--num_workers", "2",
             "--max_seq_bucket", "128",
+            "--fsdp", "2",
             "--use_model_ema",
             "--precision", "fp32",
         ]
@@ -105,6 +106,7 @@ def test_trainer_cli_smoke(tmp_path):
             "--ckpt_every", "2",
             "--log_every", "1",
             "--max_seq_bucket", "128",
+            "--fsdp", "2",
             "--auto_resume",
             "--use_model_ema",
             "--precision", "fp32",

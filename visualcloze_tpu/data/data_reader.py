@@ -38,7 +38,9 @@ class Graph200KItemProcessor:
 
     # ------------------------- image-type resolution -------------------------
 
-    def get_image_object200k(self, data_item: dict, image_type: str) -> list[Image.Image]:
+    def get_image_object200k(
+        self, data_item: dict, image_type: str, rng: random.Random = random
+    ) -> list[Image.Image]:
         """(ref data/data_reader.py:64-106)."""
         cond = data_item["condition"]
         if image_type in ("target", "reference"):
@@ -53,7 +55,7 @@ class Graph200KItemProcessor:
             return [Image.fromarray(out)]
         if image_type in style_list:
             source = cond[image_type]
-            idx = random.randint(0, len(source["style_path"]) - 1)
+            idx = rng.randint(0, len(source["style_path"]) - 1)
             style = Image.open(source["style_path"][idx]).convert("RGB")
             target = Image.open(source["image_path"][idx]).convert("RGB")
             return [style, target]
@@ -61,13 +63,14 @@ class Graph200KItemProcessor:
             if image_type == "DepthEdit":
                 path = cond["DepthEdit"]
             else:
-                path = random.choice(cond["FillEdit"]["image_path"])
+                path = rng.choice(cond["FillEdit"]["image_path"])
             return [Image.open(path).convert("RGB")]
         if image_type in condition_list:
             return [Image.open(cond[image_type]).convert("RGB")]
         if image_type in degradation_list:
             target = Image.open(cond["target"]).convert("RGB")
-            deg = add_degradation(np.array(target), image_type)
+            np_rng = np.random.default_rng(rng.getrandbits(63))
+            deg = add_degradation(np.array(target), image_type, rng=np_rng)
             return [Image.fromarray(deg)]
         raise NotImplementedError(image_type)
 
@@ -80,12 +83,18 @@ class Graph200KItemProcessor:
         image_type_list: list[str] | None = None,
         context_num: int = 1,
         group_name: str | None = None,
+        rng: random.Random = random,
     ):
-        """(ref data/data_reader.py:108-167). data_item: one record per row."""
+        """(ref data/data_reader.py:108-167). data_item: one record per row.
+
+        rng: all randomness (style-pair pick, degradation params, template
+        choices, column shuffle) draws from this generator; the dataset passes
+        a per-(seed, index) instance for deterministic resumable data order.
+        """
         image_list: list[list[Image.Image]] = [[] for _ in range(context_num)]
         for i in range(context_num):
             for image_type in image_type_list:
-                images = self.get_image_object200k(data_item[i], image_type)
+                images = self.get_image_object200k(data_item[i], image_type, rng=rng)
                 images = [
                     resize_with_aspect_ratio(img, self.resolution, aspect_ratio=1.0)
                     for img in images
@@ -94,12 +103,12 @@ class Graph200KItemProcessor:
 
         image_prompt_list: list[str] = []
         for image_type in image_type_list:
-            image_prompt_list += get_image_prompt(image_type)
+            image_prompt_list += get_image_prompt(image_type, rng=rng)
 
         # jointly shuffle the context columns with their prompts (:121-126)
         if training_mode:
             indices = list(range(len(image_prompt_list) - 1))
-            random.shuffle(indices)
+            rng.shuffle(indices)
             for i in range(context_num):
                 image_list[i][: len(image_prompt_list) - 1] = [
                     image_list[i][j] for j in indices
@@ -116,12 +125,12 @@ class Graph200KItemProcessor:
             condition_prompt = ", ".join(image_prompt_list[:-1])
             target_prompt = image_prompt_list[-1]
             instruction = [
-                get_layout_instruction(len(image_list[0]), context_num),
-                get_task_instruction(condition_prompt, target_prompt),
+                get_layout_instruction(len(image_list[0]), context_num, rng=rng),
+                get_task_instruction(condition_prompt, target_prompt, rng=rng),
             ]
             if image_type_list[-1] == "target":
                 instruction.append(
-                    get_content_instruction()
+                    get_content_instruction(rng=rng)
                     + data_item[i]["description"]["item"]
                     + " "
                     + data_item[i]["description"]["description_0"]
@@ -140,14 +149,16 @@ class Graph200KItemProcessor:
             row = hconcat_normalize([np.asarray(to_rgb_if_rgba(img)) for img in images])
             processed.append(row)
 
-        instruction = get_layout_instruction(len(image_list[0]), context_num)
-        if random.random() < 0.8:
+        instruction = get_layout_instruction(len(image_list[0]), context_num, rng=rng)
+        if rng.random() < 0.8:
             condition_prompt = ", ".join(image_prompt_list[:-1])
             target_prompt = image_prompt_list[-1]
-            instruction = instruction + " " + get_task_instruction(condition_prompt, target_prompt)
-        if random.random() < 0.8 and image_type_list[-1] == "target":
+            instruction = instruction + " " + get_task_instruction(
+                condition_prompt, target_prompt, rng=rng
+            )
+        if rng.random() < 0.8 and image_type_list[-1] == "target":
             instruction = (
-                instruction + " " + get_content_instruction()
+                instruction + " " + get_content_instruction(rng=rng)
                 + data_item[i]["description"]["item"] + " "
                 + data_item[i]["description"]["description_0"]
             )

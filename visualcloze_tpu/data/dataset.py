@@ -38,7 +38,9 @@ class GridDataset:
         task_dicts: dict[str, list[dict]] | None = None,
         process_index: int = 0,
         cache_root: str = "./accessory_data_cache",
+        seed: int = 0,
     ):
+        self.seed = seed
         logger.info("read dataset config from %s", config_path)
         with open(config_path) as f:
             self.config = yaml.safe_load(f)
@@ -157,7 +159,7 @@ class GridDataset:
                 return group_name
         return None
 
-    def get_context_index(self, index: int, tried: set[int]) -> int:
+    def get_context_index(self, index: int, tried: set[int], rng: random.Random) -> int:
         """Pick an untried in-group index; raises LookupError when the group
         is exhausted (the reference would spin forever — dataset.py:194-202)."""
         for _, idxs in self.group_indices.items():
@@ -165,38 +167,50 @@ class GridDataset:
                 available = [i for i in idxs if i not in tried]
                 if not available:
                     raise LookupError("group exhausted for this task spec")
-                index = random.choice(available)
+                index = rng.choice(available)
                 tried.add(index)
                 break
         return index
 
-    def sample_group(self) -> str:
+    def sample_group(self, rng: random.Random) -> str:
         groups = list(self.group_weights)
         weights = [self.group_weights[g] for g in groups]
-        return random.choices(groups, weights=weights, k=1)[0]
+        return rng.choices(groups, weights=weights, k=1)[0]
+
+    def _item_rng(self, index: int) -> random.Random:
+        """All per-item randomness is a pure function of (dataset seed, sampler
+        index): identical runs replay identical grids, and resuming at step k
+        reproduces the from-scratch sequence (ref anchors the record on the
+        index, dataset.py:217-249; we anchor ALL the item's draws)."""
+        return random.Random((self.seed << 48) ^ (index + 1))
 
     def __getitem__(self, index: int):
-        group_name = self.sample_group()
+        rng = self._item_rng(index)
+        group_name = self.sample_group(rng)
         check_item = self.check_item[group_name]
         tasks = self.task_dicts[group_name]
         task_weights = [t["sample_weight"] for t in tasks]
+        group = self.group_indices[group_name]
+        # the sampler-provided index anchors the first record (ref :217)
+        anchor = group[index % len(group)]
 
-        for _ in range(10_000):
+        for attempt in range(10_000):
             # (re)sample task spec, context count, and starting index; bad
             # records or unsatisfiable specs fall through to a fresh draw
             # (ref dataset.py:217-249 retries within one spec and can spin;
-            # resampling the spec is strictly more robust)
-            idx = random.choice(self.group_indices[group_name])
+            # resampling the spec is strictly more robust). The anchor is
+            # kept on the first attempt; later attempts redraw from the rng.
+            idx = anchor if attempt == 0 else rng.choice(group)
             tried: set[int] = {idx}
-            context_num = random.choices([1, 2, 3], weights=[0.3, 0.4, 0.3])[0]
-            task_type = random.choices(tasks, weights=task_weights)[0]
-            image_type_list = random.choice(task_type["image_list"])
+            context_num = rng.choices([1, 2, 3], weights=[0.3, 0.4, 0.3])[0]
+            task_type = rng.choices(tasks, weights=task_weights)[0]
+            image_type_list = rng.choice(task_type["image_list"])
             try:
                 index_list: list[int] = []
                 if check_item(idx, image_type_list):
                     index_list.append(idx)
                 while len(index_list) < context_num:
-                    idx = self.get_context_index(idx, tried)
+                    idx = self.get_context_index(idx, tried, rng)
                     if check_item(idx, image_type_list):
                         index_list.append(idx)
                 records = [self._record(i) for i in index_list]
@@ -206,6 +220,7 @@ class GridDataset:
                     image_type_list=image_type_list,
                     context_num=context_num,
                     group_name=group_name,
+                    rng=rng,
                 )
             except LookupError:
                 continue

@@ -176,16 +176,16 @@ def _degradation_prompt(deg: str) -> list[str]:
     ]
 
 
-def get_image_prompt(image_type: str) -> list[str]:
+def get_image_prompt(image_type: str, rng=random) -> list[str]:
     """One randomly chosen prompt per column the type produces (ref :676-681):
     style types yield [style-source prompt, style-target prompt]; every other
-    type yields a single-element list."""
+    type yields a single-element list. rng: any random.Random-like source."""
     if image_type in style_list:
         return [
-            random.choice(_IMAGE_PROMPTS["style_source"]),
-            random.choice(_IMAGE_PROMPTS["style_target"]),
+            rng.choice(_IMAGE_PROMPTS["style_source"]),
+            rng.choice(_IMAGE_PROMPTS["style_target"]),
         ]
-    return [random.choice(get_image_prompt_variants(image_type))]
+    return [rng.choice(get_image_prompt_variants(image_type))]
 
 
 def get_image_prompt_variants(image_type: str) -> list[str]:
@@ -197,7 +197,7 @@ def get_image_prompt_variants(image_type: str) -> list[str]:
     raise KeyError(f"unknown image type {image_type!r}")
 
 
-def get_layout_instruction(cols: int, rows: int) -> str:
+def get_layout_instruction(cols: int, rows: int, rng=random) -> str:
     """Randomized grid-layout prompt (ref :684-697)."""
     templates = [
         "A grid layout with {rows} rows and {cols} columns, displaying {total} images arranged side by side.",
@@ -211,10 +211,10 @@ def get_layout_instruction(cols: int, rows: int) -> str:
         "The frame contains a {rows}x{cols} matrix of {total} images.",
         "{total} sub-pictures fill a grid that is {rows} rows tall and {cols} columns wide.",
     ]
-    return random.choice(templates).format(rows=rows, cols=cols, total=rows * cols)
+    return rng.choice(templates).format(rows=rows, cols=cols, total=rows * cols)
 
 
-def get_task_instruction(condition_prompt: str, target_prompt: str) -> str:
+def get_task_instruction(condition_prompt: str, target_prompt: str, rng=random) -> str:
     """Randomized in-context task prompt (ref :700-713)."""
     templates = [
         "In each row, a logical procedure derives the right-most image from the left: from <{c}> to <{t}>.",
@@ -228,10 +228,10 @@ def get_task_instruction(condition_prompt: str, target_prompt: str) -> str:
         "All rows obey one rule that converts <{c}> into <{t}>.",
         "The transformation illustrated row by row maps <{c}> onto <{t}>.",
     ]
-    return random.choice(templates).format(c=condition_prompt, t=target_prompt)
+    return rng.choice(templates).format(c=condition_prompt, t=target_prompt)
 
 
-def get_content_instruction() -> str:
+def get_content_instruction(rng=random) -> str:
     """Randomized content-prompt prefix (ref :716-729). The upsampling stage
     strips exactly these prefixes (pipeline/visualcloze.CONTENT_INSTRUCTIONS)."""
     prefixes = [
@@ -246,7 +246,7 @@ def get_content_instruction() -> str:
         "The bottom-right corner image presents: ",
         "The content of the last image in the concluding row is: ",
     ]
-    return random.choice(prefixes)
+    return rng.choice(prefixes)
 
 
 # ----------------------------- task registries -----------------------------

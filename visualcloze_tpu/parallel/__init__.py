@@ -9,6 +9,7 @@ from .mesh import (
 from .sharding import (
     constrain_batch,
     shard_large_params,
+    shard_micro_batches,
     flux_param_spec,
     make_flux_shardings,
     replicate_tree,
@@ -18,6 +19,7 @@ from .sharding import (
 __all__ = [
     "AXES", "auto_mesh", "batch_sharding", "create_mesh",
     "initialize_distributed", "replicated",
-    "constrain_batch", "shard_large_params", "flux_param_spec", "make_flux_shardings",
+    "constrain_batch", "shard_large_params", "shard_micro_batches",
+    "flux_param_spec", "make_flux_shardings",
     "replicate_tree", "shard_params",
 ]

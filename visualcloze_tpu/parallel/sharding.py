@@ -168,3 +168,19 @@ def constrain_batch(x, mesh: Mesh):
             x, NamedSharding(mesh, P(("dp", "fsdp")))
         )
     return x
+
+
+def shard_micro_batches(batch: dict, mesh: Mesh) -> dict:
+    """Place an (accum, batch, ...) micro-batch dict onto the mesh with the
+    batch dim split over (dp, fsdp) — torch-FSDP data-parallel semantics
+    (ref train.py:152-185). Single-host: plain device_put of the global
+    batch; multi-host: each process contributes its local shard."""
+    sh = NamedSharding(mesh, P(None, ("dp", "fsdp")))
+    if jax.process_count() == 1:
+        return {k: jax.device_put(v, sh) for k, v in batch.items()}
+    import numpy as np
+
+    return {
+        k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+        for k, v in batch.items()
+    }

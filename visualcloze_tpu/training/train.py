@@ -37,7 +37,13 @@ from ..data import (
 from ..data.prefix_instruction import graph200k_task_dicts
 from ..models.flux import init_flux, param_count
 from ..models.lora import init_lora, lora_param_count
-from ..parallel import create_mesh, initialize_distributed, replicate_tree, shard_params
+from ..parallel import (
+    create_mesh,
+    initialize_distributed,
+    replicate_tree,
+    shard_micro_batches,
+    shard_params,
+)
 from ..transport import create_transport
 from ..utils.misc import PhaseTimer, SmoothedValue
 from . import checkpoint as ckpt
@@ -203,8 +209,20 @@ def main(argv=None) -> None:
         cache_on_disk=args.cache_data_on_disk,
         task_dicts={"image_grid_graph200k": graph200k_task_dicts},
         process_index=process_index,
+        seed=args.global_seed,
     )
-    local_bsz = args.global_bsz // world
+    # micro_bsz is PER data-parallel rank (reference FSDP semantics,
+    # train.py:606-636): one accumulation step feeds micro_bsz x n_data
+    # samples across the (dp, fsdp) axes.
+    n_data = mesh.shape["dp"] * mesh.shape["fsdp"]
+    global_micro = args.micro_bsz * n_data
+    if args.global_bsz % global_micro != 0:
+        raise SystemExit(
+            f"--global_bsz {args.global_bsz} must be a multiple of micro_bsz x "
+            f"dp x fsdp = {args.micro_bsz} x {n_data} = {global_micro}"
+        )
+    accum = args.global_bsz // global_micro
+    local_bsz = args.global_bsz // world  # samples this host loads per step
     sampler = get_train_sampler(
         len(dataset), process_index, world, args.global_bsz,
         args.max_steps, resume_step, args.global_seed,
@@ -248,7 +266,8 @@ def main(argv=None) -> None:
             caption_dropout=args.caption_dropout_prob, bucket=args.max_seq_bucket,
             compute_dtype=compute_dtype,
         )
-        batch = to_micro_batches(batch, args.micro_bsz)
+        batch = to_micro_batches(batch, local_bsz // accum)
+        batch = shard_micro_batches(batch, mesh)  # split batch over (dp, fsdp)
         timer.mark("EncodeSecs")
 
         state, metrics = train_step(state, batch, sk)
