@@ -19,12 +19,30 @@ Two implementations:
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 
 from .rope import apply_rope, apply_rope_half
 
 NEG_INF = -1e30
+
+
+@dataclasses.dataclass(frozen=True)
+class RingSpec:
+    """Sequence-parallel attention dispatch: pass as `attn_impl` anywhere a
+    string impl is accepted (flux_apply / layers / attention). The joint
+    txt+img sequence is sharded over `axis` and attended exactly with ring
+    attention (ops/ring_attention.py) — the cp integration the reference left
+    as a TODO (SURVEY §5.7).
+
+    chunk_impl: per-chunk kernel — "pallas" (TPU serving) or "xla"
+    (differentiable; use for training until the ring bwd is fused)."""
+
+    mesh: object  # jax.sharding.Mesh (kept untyped for cheap import)
+    axis: str = "cp"
+    chunk_impl: str = "xla"
 
 
 def _on_tpu() -> bool:
@@ -76,6 +94,13 @@ def mha(
     impl: str = "auto",
 ) -> jnp.ndarray:
     """Multi-head attention dispatch. q, k, v: (B, H, L, D)."""
+    if isinstance(impl, RingSpec):
+        from .ring_attention import ring_attention
+
+        chunk = impl.chunk_impl
+        if chunk == "auto":
+            chunk = "pallas" if _on_tpu() else "xla"
+        return ring_attention(q, k, v, bias, impl.mesh, axis=impl.axis, impl=chunk)
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "xla"
     if impl == "pallas":

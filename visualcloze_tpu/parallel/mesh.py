@@ -18,21 +18,24 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-AXES = ("dp", "fsdp", "tp")
+AXES = ("dp", "fsdp", "tp", "cp")
 
 
 def create_mesh(
     dp: int = 1,
     fsdp: int = 1,
     tp: int = 1,
+    cp: int = 1,
     devices: list | None = None,
 ) -> Mesh:
-    """Build a (dp, fsdp, tp) mesh over the given (default: all) devices."""
+    """Build a (dp, fsdp, tp, cp) mesh over the given (default: all) devices.
+    cp = sequence/context parallelism (ring attention, ops/ring_attention.py);
+    innermost so ppermute hops ride nearest-neighbor ICI links."""
     devices = devices if devices is not None else jax.devices()
-    n = dp * fsdp * tp
+    n = dp * fsdp * tp * cp
     if n > len(devices):
-        raise ValueError(f"mesh {dp}x{fsdp}x{tp}={n} exceeds {len(devices)} devices")
-    arr = np.asarray(devices[:n]).reshape(dp, fsdp, tp)
+        raise ValueError(f"mesh {dp}x{fsdp}x{tp}x{cp}={n} exceeds {len(devices)} devices")
+    arr = np.asarray(devices[:n]).reshape(dp, fsdp, tp, cp)
     return Mesh(arr, AXES)
 
 
