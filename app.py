@@ -57,6 +57,44 @@ def generate(model, grid_h, grid_w, images, layout, task, content,
     return outs[0] if outs else None
 
 
+def gallery_entries() -> dict[str, list]:
+    """Per-family (thumbnail_path, example) lists for the demo galleries
+    (ref app.py:163-276 wires 16 task-family example banks). Gradio-free so
+    tests can validate the galleries without the UI dependency."""
+    from examples import refresh_task_families
+
+    families = refresh_task_families()
+    out = {}
+    for family, examples in families.items():
+        entries = []
+        for ex in examples:
+            row = ex.rows(context_num=1)[0]
+            thumb = next((c for c in row if c), None)
+            if thumb:
+                entries.append((thumb, ex))
+        if entries:
+            out[family] = entries
+    return out
+
+
+def apply_example_outputs(example, context_num: int = 1):
+    """process_tasks output -> values for the UI components:
+    [grid_h, grid_w, layout, task, content, upsampling_noise, steps,
+    *25 cell values (None where hidden/masked)]."""
+    from examples import process_tasks
+    from PIL import Image as PILImage
+
+    out = process_tasks(example, context_num)
+    _mask_count, gh, gw, layout_v, task_v, content_v, noise_v, steps_v = out[:8]
+    images = out[8:]
+    cells: list = [None] * (MAX_GRID * MAX_GRID)
+    for r in range(gh):
+        for c in range(gw):
+            path = images[r * gw + c]
+            cells[r * MAX_GRID + c] = PILImage.open(path) if path else None
+    return [gh, gw, layout_v, task_v, content_v, noise_v, steps_v, *cells]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model_path", default=None)
@@ -112,6 +150,23 @@ def main():
             is_upsampling = gr.Checkbox(value=True, label="SDEdit upsampling")
         btn = gr.Button("Generate", variant="primary")
         output = gr.Image(label="Result")
+
+        # --- task-family example galleries (ref app.py:163-276, 343-374) ---
+        example_targets = [grid_h, grid_w, layout, task, content,
+                           upsampling_noise, steps, *cells]
+        with gr.Accordion("Task examples", open=True):
+            for family, entries in gallery_entries().items():
+                with gr.Tab(family.replace("_", " ")):
+                    gallery = gr.Gallery(
+                        value=[(thumb, ex.name) for thumb, ex in entries],
+                        columns=4, height=140, label=family,
+                    )
+
+                    def on_select(evt: gr.SelectData, entries=entries):
+                        _, ex = entries[evt.index]
+                        return apply_example_outputs(ex)
+
+                    gallery.select(on_select, None, example_targets)
 
         def on_click(h, w, *rest):
             n = MAX_GRID * MAX_GRID

@@ -11,16 +11,18 @@ EXAMPLES_ROOT directory and degrade to empty lists when assets are absent.
 
 from .gradio_tasks import (
     TaskExample,
+    asset_path,
     dense_prediction_tasks,
     conditional_generation_tasks,
     generate_paths_from_id,
     process_tasks,
+    refresh_task_families,
     register_task_family,
     task_families,
 )
 
 __all__ = [
-    "TaskExample", "dense_prediction_tasks", "conditional_generation_tasks",
-    "generate_paths_from_id", "process_tasks", "register_task_family",
-    "task_families",
+    "TaskExample", "asset_path", "dense_prediction_tasks",
+    "conditional_generation_tasks", "generate_paths_from_id", "process_tasks",
+    "refresh_task_families", "register_task_family", "task_families",
 ]

@@ -27,28 +27,38 @@ from visualcloze_tpu.data.prefix_instruction import (
 EXAMPLES_ROOT = os.environ.get("EXAMPLES_ROOT", os.path.join(os.path.dirname(__file__), "assets"))
 
 
+def asset_path(file_id: str, image_type: str) -> str:
+    """Path convention: <EXAMPLES_ROOT>/<id>_<type>.jpg — ANY image type
+    (conditions, degradations, editing variants) resolves uniformly."""
+    return os.path.join(EXAMPLES_ROOT, f"{file_id}_{image_type}.jpg")
+
+
+_KNOWN_TYPES = (
+    "target", "canny", "depth", "hed", "normal", "mlsd", "openpose",
+    "sam2_mask", "uniformer", "foreground", "background", "mask",
+    "reference", "style_source", "style_target",
+)
+
+
+class _AssetPaths(dict):
+    """dict of modality -> path that resolves unknown image types (e.g.
+    degradation names, DepthEdit) through the same naming convention."""
+
+    def __init__(self, file_id: str, prompt: str):
+        super().__init__({t: asset_path(file_id, t) for t in _KNOWN_TYPES})
+        self["prompt"] = prompt
+        self._file_id = file_id
+
+    def get(self, key, default=None):  # noqa: A003 - dict API
+        if key in self:
+            return super().get(key)
+        return asset_path(self._file_id, key)
+
+
 def generate_paths_from_id(file_id: str, prompt: str) -> dict[str, str]:
-    """Path convention: one asset id maps to every condition modality
+    """One asset id maps to every condition modality
     (ref examples/gradio_tasks.py:8-36)."""
-    base = os.path.join(EXAMPLES_ROOT, file_id)
-    return {
-        "target": f"{base}_target.jpg",
-        "canny": f"{base}_canny.jpg",
-        "depth": f"{base}_depth.jpg",
-        "hed": f"{base}_hed.jpg",
-        "normal": f"{base}_normal.jpg",
-        "mlsd": f"{base}_mlsd.jpg",
-        "openpose": f"{base}_openpose.jpg",
-        "sam2_mask": f"{base}_sam2_mask.jpg",
-        "uniformer": f"{base}_uniformer.jpg",
-        "foreground": f"{base}_foreground.jpg",
-        "background": f"{base}_background.jpg",
-        "mask": f"{base}_mask.jpg",
-        "reference": f"{base}_reference.jpg",
-        "style_source": f"{base}_style_source.jpg",
-        "style_target": f"{base}_style_target.jpg",
-        "prompt": prompt,
-    }
+    return _AssetPaths(file_id, prompt)
 
 
 @dataclass
@@ -73,16 +83,30 @@ class TaskExample:
 
 
 task_families: dict[str, list[TaskExample]] = {}
+_FAMILY_DEFS: dict[str, list[TaskExample]] = {}
 
 
-def register_task_family(family: str, examples: list[TaskExample]) -> None:
-    available = []
+def _available(examples: list[TaskExample]) -> list[TaskExample]:
+    out = []
     for ex in examples:
         paths = generate_paths_from_id(ex.file_ids[0], "")
         first = paths.get(ex.image_type_list[0])
         if first and Path(first).exists():
-            available.append(ex)
-    task_families[family] = available
+            out.append(ex)
+    return out
+
+
+def register_task_family(family: str, examples: list[TaskExample]) -> None:
+    _FAMILY_DEFS[family] = examples
+    task_families[family] = _available(examples)
+
+
+def refresh_task_families() -> dict[str, list[TaskExample]]:
+    """Re-filter every family against the assets currently on disk (call
+    after examples.make_assets writes the pack)."""
+    for family, examples in _FAMILY_DEFS.items():
+        task_families[family] = _available(examples)
+    return task_families
 
 
 def dense_prediction_tasks() -> list[TaskExample]:
@@ -133,9 +157,14 @@ def process_tasks(example: TaskExample, context_num: int = 1):
 
 
 def _simple_family(name: str, type_list: list[str], ids: list[str]) -> list[TaskExample]:
+    """Two examples per family: the id pair forward and reversed (the
+    reference banks hold several curated rows per family; the synthetic pack
+    provides two per id pair)."""
     return [
         TaskExample(name=name, image_type_list=type_list, file_ids=ids,
-                    prompts=["a photo"] * len(ids))
+                    prompts=["a photo"] * len(ids)),
+        TaskExample(name=f"{name} (alt)", image_type_list=type_list,
+                    file_ids=list(reversed(ids)), prompts=["a photo"] * len(ids)),
     ]
 
 

@@ -79,6 +79,9 @@ def foreground_mask(img: np.ndarray) -> np.ndarray:
     return np.stack([mask] * 3, axis=-1)
 
 
+GALLERY_DEGRADATIONS = ("GaussianNoise", "GaussianBlur", "JPEG", "LowLight")
+
+
 def make_asset(file_id: str, seed: int, root: str) -> None:
     img = synth_scene(seed)
     depth = depth_proxy(img)
@@ -105,16 +108,39 @@ def make_asset(file_id: str, seed: int, root: str) -> None:
         "style_source": cv2.applyColorMap(gray, cv2.COLORMAP_TWILIGHT)[..., ::-1],
         "style_target": img,
     }
+    # degradation inputs for the restoration gallery (real toolkit functions)
+    from visualcloze_tpu.data.degradations import add_degradation
+
+    rng = np.random.default_rng(seed)
+    for deg in GALLERY_DEGRADATIONS:
+        assets[deg] = add_degradation(img, deg, rng=rng)
+    # editing variants: DepthEdit = depth-guided re-render (another scene with
+    # the same depth proxy), FillEdit = region-replaced copy
+    assets["DepthEdit"] = synth_scene(seed + 2000)
+    filled = img.copy()
+    h, w = img.shape[:2]
+    filled[h // 4 : h // 2, w // 4 : w // 2] = rng.integers(0, 255, 3)
+    assets["FillEdit"] = filled
+
     for name, arr in assets.items():
         Image.fromarray(np.ascontiguousarray(arr)).save(
             os.path.join(root, f"{file_id}_{name}.jpg"), quality=92
         )
 
 
+# every file id referenced by the 16 gallery families (gradio_tasks.py)
+ALL_FILE_IDS = [
+    "dense_0", "dense_1", "cond_0", "cond_1", "rest_0", "rest_1",
+    "style_0", "style_1", "tryon_0", "tryon_1", "relight_0", "relight_1",
+    "doodle_0", "doodle_1", "edit_0", "edit_1", "subj_0", "subj_1",
+    "unseen_0", "unseen_1",
+]
+
+
 def main(root: str | None = None) -> str:
     root = root or EXAMPLES_ROOT
     os.makedirs(root, exist_ok=True)
-    for i, file_id in enumerate(["dense_0", "dense_1", "cond_0", "cond_1"]):
+    for i, file_id in enumerate(ALL_FILE_IDS):
         make_asset(file_id, seed=17 + i, root=root)
     print(f"wrote synthetic example assets to {root}")
     return root

@@ -42,6 +42,29 @@ def test_examples_registry():
     assert grid[-1][-1] is None and grid[0][0] is not None
 
 
+def test_all_16_gallery_families_have_assets():
+    """The demo ships 16 non-empty task-family galleries (ref app.py:163-276);
+    every example's grid paths exist and apply_example_outputs fills the UI."""
+    import os
+
+    import app
+
+    entries = app.gallery_entries()
+    assert len(entries) == 16, sorted(entries)
+    for family, items in entries.items():
+        assert items, family
+        for thumb, ex in items:
+            assert os.path.exists(thumb), (family, thumb)
+            grid = ex.rows(context_num=1)
+            for row in grid:
+                for cell in row:
+                    assert cell is None or os.path.exists(cell), (family, cell)
+    out = app.apply_example_outputs(entries["dense_prediction"][0][1])
+    gh, gw = out[0], out[1]
+    assert gh >= 2 and gw >= 2
+    assert len(out) == 7 + 25
+
+
 def test_sample_cli_demo_sweep(tmp_path):
     """sample.py eval sweep end to end on a tiny model + synthetic test set."""
     import json
