@@ -5,14 +5,17 @@ Counterpart of the reference models/modules/image_embedders.py:15-103
 paths — not by the VisualCloze grid pipeline itself).
 
 - CannyImageEncoder: fully local (cv2), complete parity.
-- DepthImageEncoder: interface + normalization; the DepthAnything network
-  weights must be provided locally (DEPTH_ANYTHING_PATH) — no-network env.
-- ReduxImageEncoder: the 2-layer projector in JAX with an HF weight converter;
-  the SigLIP vision tower hook accepts precomputed features or a callable.
+- DepthImageEncoder: native JAX DepthAnything tower (models/vision_towers.py,
+  DINOv2 ViT-L + DPT) loaded from a local checkpoint (DEPTH_ANYTHING_PATH),
+  or an injected callable for custom depth networks.
+- ReduxImageEncoder: native JAX SigLIP vision tower + the 2-layer projector,
+  both with HF weight converters (SIGLIP_PATH / FLUX_REDUX); precomputed
+  features and injected callables remain supported.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable
 
 import jax
@@ -20,6 +23,15 @@ import jax.numpy as jnp
 import numpy as np
 
 Params = dict[str, Any]
+
+
+def _load_state(path: str) -> dict[str, np.ndarray]:
+    """Local .safetensors file / HF snapshot dir / torch .pth -> numpy dict."""
+    from ..pipeline.loader import load_sharded_safetensors, load_torch_checkpoint
+
+    if os.path.isdir(path):
+        return load_sharded_safetensors(path)
+    return load_torch_checkpoint(path)
 
 
 class CannyImageEncoder:
@@ -41,21 +53,58 @@ class CannyImageEncoder:
 
 
 class DepthImageEncoder:
-    """Depth-map conditioning. Requires a local depth network; raises with a
-    clear message otherwise (the reference downloads depth-anything-large-hf,
-    image_embedders.py:15-35 — impossible in a no-network environment)."""
+    """Depth-map conditioning via the native DepthAnything tower
+    (ref image_embedders.py:15-35 uses depth-anything-large-hf).
 
-    def __init__(self, depth_fn: Callable | None = None):
+    Weight sources, in priority order: explicit `params`, a custom
+    `depth_fn` (PIL -> (H, W) array), or the DEPTH_ANYTHING_PATH env var
+    pointing at a local HF checkpoint."""
+
+    def __init__(self, depth_fn: Callable | None = None, params: Params | None = None,
+                 cfg=None):
+        from .vision_towers import DepthAnythingTowerConfig
+
+        self.cfg = cfg or DepthAnythingTowerConfig()
         self.depth_fn = depth_fn
+        self.params = params
+        if self.params is None and self.depth_fn is None:
+            path = os.environ.get("DEPTH_ANYTHING_PATH")
+            if path and os.path.exists(path):
+                from .vision_towers import convert_depth_anything
+
+                self.params = convert_depth_anything(_load_state(path), self.cfg)
+        self._apply = None
+
+    def _depth(self, img) -> np.ndarray:
+        from .vision_towers import depth_anything_apply, depth_anything_preprocess
+
+        if self.params is not None:
+            if self._apply is None:
+                self._apply = jax.jit(
+                    lambda p, x: depth_anything_apply(self.cfg, p, x)
+                )
+            pixels = depth_anything_preprocess(img, target=self.cfg.image_size,
+                                               multiple=self.cfg.patch_size)
+            return np.asarray(self._apply(self.params, pixels))[0]
+        if self.depth_fn is not None:
+            return np.asarray(self.depth_fn(img), dtype=np.float32)
+        raise RuntimeError(
+            "DepthImageEncoder needs weights: set DEPTH_ANYTHING_PATH to a "
+            "local depth-anything checkpoint, pass params=, or pass depth_fn="
+        )
 
     def __call__(self, img) -> jnp.ndarray:
-        if self.depth_fn is None:
-            raise RuntimeError(
-                "DepthImageEncoder needs a depth network: pass depth_fn "
-                "(PIL -> (H, W) depth array) built from local weights"
+        """PIL image -> (1, H, W, 3) depth conditioning in [-1, 1] at the
+        input's resolution (ref: network depth, bicubic resize back, /127.5-1
+        on the 0..255-scaled map — equivalent to max-normalizing)."""
+        depth = self._depth(img)
+        w, h = img.size
+        if depth.shape != (h, w):
+            depth = np.asarray(
+                jax.image.resize(jnp.asarray(depth), (h, w), method="bicubic")
             )
-        depth = np.asarray(self.depth_fn(img), dtype=np.float32)
-        depth = depth / max(float(depth.max()), 1e-6)  # normalize like the ref
+        depth = np.clip(depth, 0.0, None)  # bicubic can undershoot the ReLU floor
+        depth = depth / max(float(depth.max()), 1e-6)
         out = np.stack([depth] * 3, axis=-1) * 2.0 - 1.0
         return jnp.asarray(out)[None]
 
@@ -100,22 +149,50 @@ def convert_redux(state: dict[str, np.ndarray], dtype=None) -> Params:
 
 class ReduxImageEncoder:
     """Style conditioning: SigLIP vision features projected into T5 token
-    space. `siglip_fn` maps PIL -> (1, L, redux_dim) features (from local
-    SigLIP weights); precomputed features may be passed directly."""
+    space (ref image_embedders.py:66-103). The vision tower is the native
+    JAX SigLIP (models/vision_towers.py), loaded from SIGLIP_PATH; a custom
+    `siglip_fn` (PIL -> (1, L, redux_dim)) or precomputed feature arrays are
+    also accepted."""
 
-    def __init__(self, params: Params, siglip_fn: Callable | None = None):
+    def __init__(self, params: Params, siglip_fn: Callable | None = None,
+                 siglip_params: Params | None = None, siglip_cfg=None):
+        from .vision_towers import SigLIPVisionConfig
+
         self.params = params
         self.siglip_fn = siglip_fn
+        self.siglip_cfg = siglip_cfg or SigLIPVisionConfig()
+        self.siglip_params = siglip_params
+        if self.siglip_params is None and self.siglip_fn is None:
+            path = os.environ.get("SIGLIP_PATH")
+            if path and os.path.exists(path):
+                from .vision_towers import convert_siglip_vision
+
+                self.siglip_params = convert_siglip_vision(_load_state(path), self.siglip_cfg)
         self._project = jax.jit(lambda p, x: redux_project(p, x))
+        self._encode = None
+
+    def _features(self, img) -> jnp.ndarray:
+        from .vision_towers import siglip_encode, siglip_preprocess
+
+        if self.siglip_params is not None:
+            if self._encode is None:
+                self._encode = jax.jit(
+                    lambda p, x: siglip_encode(self.siglip_cfg, p, x)
+                )
+            return self._encode(
+                self.siglip_params, siglip_preprocess(img, self.siglip_cfg.image_size)
+            )
+        if self.siglip_fn is not None:
+            return jnp.asarray(self.siglip_fn(img))
+        raise RuntimeError(
+            "ReduxImageEncoder needs SigLIP features: set SIGLIP_PATH to a "
+            "local SigLIP checkpoint, pass siglip_params=/siglip_fn=, or "
+            "precomputed feature arrays"
+        )
 
     def __call__(self, img_or_features) -> jnp.ndarray:
         if isinstance(img_or_features, (np.ndarray, jnp.ndarray)):
             feats = jnp.asarray(img_or_features)
-        elif self.siglip_fn is not None:
-            feats = jnp.asarray(self.siglip_fn(img_or_features))
         else:
-            raise RuntimeError(
-                "ReduxImageEncoder needs SigLIP features: pass siglip_fn built "
-                "from local weights, or precomputed feature arrays"
-            )
+            feats = self._features(img_or_features)
         return self._project(self.params, feats)
