@@ -202,3 +202,54 @@ def test_redux_encoder_with_native_siglip():
     n_patches = (cfg.image_size // cfg.patch_size) ** 2
     assert out.shape == (1, n_patches, 16)
     assert np.isfinite(out).all()
+
+
+def test_vit_classifier_matches_transformers_and_nsfw_gate():
+    from transformers import ViTConfig, ViTForImageClassification
+
+    from visualcloze_tpu.models.postprocess import build_nsfw_classifier, save_image
+    from visualcloze_tpu.models.vision_towers import (
+        ViTClassifierConfig,
+        convert_vit_classifier,
+        vit_classify,
+    )
+
+    cfg = ViTClassifierConfig().tiny()
+    torch.manual_seed(3)
+    model = ViTForImageClassification(ViTConfig(
+        hidden_size=cfg.hidden_size, num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads, intermediate_size=cfg.intermediate_size,
+        image_size=cfg.image_size, patch_size=cfg.patch_size,
+        num_labels=cfg.num_labels,
+    )).eval()
+    params = convert_vit_classifier(_state(model), cfg)
+
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((2, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = model(pixel_values=torch.from_numpy(x.transpose(0, 3, 1, 2))).logits.numpy()
+    got = np.asarray(vit_classify(cfg, params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+    # gate behavior through save_image with the native classifier
+    import tempfile, os
+    from PIL import Image
+
+    clf = build_nsfw_classifier(params=params, cfg=cfg)
+    img = Image.fromarray(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8))
+    p = clf(img)
+    assert 0.0 <= p <= 1.0
+    with tempfile.TemporaryDirectory() as d:
+        out = save_image(img, os.path.join(d, "x.png"),
+                         nsfw_classifier=clf, nsfw_threshold=1.1)
+        assert out is not None and os.path.exists(out)
+        blocked = save_image(img, os.path.join(d, "y.png"),
+                             nsfw_classifier=clf, nsfw_threshold=-0.1)
+        assert blocked is None
+
+
+def test_build_nsfw_classifier_none_without_weights(monkeypatch):
+    from visualcloze_tpu.models.postprocess import build_nsfw_classifier
+
+    monkeypatch.delenv("NSFW_MODEL_PATH", raising=False)
+    assert build_nsfw_classifier() is None

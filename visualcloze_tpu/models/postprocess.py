@@ -70,6 +70,42 @@ def extract_watermark_score(image: np.ndarray) -> float:
     return match / max(total, 1)
 
 
+def build_nsfw_classifier(path: str | None = None, nsfw_label: int = 1, params=None, cfg=None):
+    """Callable PIL -> p(nsfw) from the native ViT classifier tower
+    (models/vision_towers.py; the reference loads the same architecture via
+    transformers pipeline, models/util.py:16-48). `path` defaults to the
+    NSFW_MODEL_PATH env var (a local HF snapshot of a ViT classifier such as
+    Falconsai/nsfw_image_detection, whose label 1 is 'nsfw'). Returns None
+    when no weights are available (the gate then stays off)."""
+    import jax
+
+    from .vision_towers import (
+        ViTClassifierConfig,
+        convert_vit_classifier,
+        vit_classify,
+        vit_preprocess,
+    )
+
+    cfg = cfg or ViTClassifierConfig()
+    if params is None:
+        import os
+
+        path = path or os.environ.get("NSFW_MODEL_PATH")
+        if not path or not os.path.exists(path):
+            return None
+        from ..models.image_embedders import _load_state
+
+        params = convert_vit_classifier(_load_state(path), cfg)
+
+    classify = jax.jit(lambda p, x: jax.nn.softmax(vit_classify(cfg, p, x), axis=-1))
+
+    def nsfw_prob(img) -> float:
+        probs = classify(params, vit_preprocess(img, cfg.image_size))
+        return float(probs[0, nsfw_label])
+
+    return nsfw_prob
+
+
 def save_image(
     image,
     path: str,
@@ -81,8 +117,8 @@ def save_image(
     """Watermark + optional NSFW gate + EXIF-annotated save
     (ref models/util.py:16-48).
 
-    nsfw_classifier: optional callable PIL -> p(nsfw); the reference loads a
-    hub classifier — supply one built from local weights, or None to skip.
+    nsfw_classifier: optional callable PIL -> p(nsfw) — e.g. from
+    build_nsfw_classifier (native ViT, local weights); None skips the gate.
     Returns the path, or None when the NSFW gate rejects the image.
     """
     from PIL import Image

@@ -389,6 +389,96 @@ def convert_depth_anything(state: dict[str, np.ndarray], cfg: DepthAnythingTower
     }
 
 
+# ----------------------------- ViT classifier -----------------------------
+
+@dataclasses.dataclass(frozen=True)
+class ViTClassifierConfig:
+    """ViT-base image classifier (the reference's NSFW gate loads
+    Falconsai/nsfw_image_detection — a ViT-base with 2 labels,
+    models/util.py:16-48)."""
+
+    hidden_size: int = 768
+    intermediate_size: int = 3072
+    num_layers: int = 12
+    num_heads: int = 12
+    image_size: int = 224
+    patch_size: int = 16
+    num_labels: int = 2
+    layer_norm_eps: float = 1e-12
+
+    def tiny(self) -> "ViTClassifierConfig":
+        return dataclasses.replace(
+            self, hidden_size=32, intermediate_size=64, num_layers=2,
+            num_heads=4, image_size=28, patch_size=14,
+        )
+
+
+def vit_classify(cfg: ViTClassifierConfig, params: Params, pixels: jnp.ndarray) -> jnp.ndarray:
+    """(B, S, S, 3) normalized pixels -> logits (B, num_labels)."""
+    x, _ = patch_embed(params["patch_embed"], pixels, cfg.patch_size)
+    b = x.shape[0]
+    cls = jnp.broadcast_to(params["cls_token"], (b, 1, cfg.hidden_size))
+    x = jnp.concatenate([cls, x], axis=1) + params["pos_embed"]
+    for blk in params["blocks"]:
+        h = _ln(blk["ln1"], x, cfg.layer_norm_eps)
+        attn = _sdpa(_lin(blk["q"], h), _lin(blk["k"], h), _lin(blk["v"], h), cfg.num_heads)
+        x = x + _lin(blk["o"], attn)
+        h = _ln(blk["ln2"], x, cfg.layer_norm_eps)
+        x = x + _lin(blk["fc2"], jax.nn.gelu(_lin(blk["fc1"], h), approximate=False))
+    x = _ln(params["final_ln"], x, cfg.layer_norm_eps)
+    return _lin(params["classifier"], x[:, 0])
+
+
+def convert_vit_classifier(state: dict[str, np.ndarray], cfg: ViTClassifierConfig) -> Params:
+    """HF ViTForImageClassification state dict -> pytree."""
+
+    def w(key):
+        return np.asarray(state[key])
+
+    def lin(key):
+        return {"w": w(f"{key}.weight").T, "b": w(f"{key}.bias")}
+
+    def ln(key):
+        return {"scale": w(f"{key}.weight"), "bias": w(f"{key}.bias")}
+
+    blocks = []
+    for i in range(cfg.num_layers):
+        p = f"vit.encoder.layer.{i}"
+        blocks.append(
+            {
+                "ln1": ln(f"{p}.layernorm_before"),
+                "q": lin(f"{p}.attention.attention.query"),
+                "k": lin(f"{p}.attention.attention.key"),
+                "v": lin(f"{p}.attention.attention.value"),
+                "o": lin(f"{p}.attention.output.dense"),
+                "ln2": ln(f"{p}.layernorm_after"),
+                "fc1": lin(f"{p}.intermediate.dense"),
+                "fc2": lin(f"{p}.output.dense"),
+            }
+        )
+    return {
+        "patch_embed": {
+            "w": w("vit.embeddings.patch_embeddings.projection.weight").transpose(2, 3, 1, 0),
+            "b": w("vit.embeddings.patch_embeddings.projection.bias"),
+        },
+        "cls_token": w("vit.embeddings.cls_token")[0],
+        "pos_embed": w("vit.embeddings.position_embeddings")[0],
+        "blocks": blocks,
+        "final_ln": ln("vit.layernorm"),
+        "classifier": lin("classifier"),
+    }
+
+
+def vit_preprocess(img, image_size: int = 224) -> jnp.ndarray:
+    """PIL image -> (1, S, S, 3), ViTImageProcessor defaults (resize,
+    rescale 1/255, normalize mean=std=0.5)."""
+    from PIL import Image
+
+    img = img.convert("RGB").resize((image_size, image_size), Image.BILINEAR)
+    x = np.asarray(img).astype(np.float32) / 255.0
+    return jnp.asarray((x - 0.5) / 0.5)[None]
+
+
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 

@@ -76,6 +76,86 @@ def denoise_ode(
     return x
 
 
+#   Dormand-Prince 5(4) tableau (the reference's torchdiffeq dopri5 option,
+#   transport/integrators.py:119). FSAL: stage 7 is the next step's stage 1.
+_DOPRI_C = np.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
+_DOPRI_A = [
+    np.array([1 / 5]),
+    np.array([3 / 40, 9 / 40]),
+    np.array([44 / 45, -56 / 15, 32 / 9]),
+    np.array([19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729]),
+    np.array([9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656]),
+    np.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84]),
+]
+_DOPRI_B5 = np.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0])
+_DOPRI_B4 = np.array(
+    [5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200, 187 / 2100, 1 / 40]
+)
+
+
+def denoise_ode_adaptive(
+    model_fn: ModelFn,
+    x: jnp.ndarray,
+    t_start: float,
+    t_end: float,
+    model_kwargs: dict[str, Any],
+    cond: jnp.ndarray | None = None,
+    atol: float = 1e-6,
+    rtol: float = 1e-3,
+    max_steps: int = 256,
+) -> jnp.ndarray:
+    """Adaptive Dormand-Prince 5(4) from flux time t_start down to t_end,
+    as ONE compiled lax.while_loop (PI-free I step control, FSAL reuse).
+
+    max_steps caps trial steps (accepted + rejected) so the program is
+    bounded; integration clamps the final step onto t_end exactly.
+    """
+    b = x.shape[0]
+
+    def f(x32, t):
+        t_vec = jnp.full((b,), t, dtype=x.dtype)
+        xi = x32.astype(x.dtype)
+        inp = jnp.concatenate([xi, cond.astype(x.dtype)], axis=-1) if cond is not None else xi
+        return model_fn(inp, timesteps=t_vec, **model_kwargs).astype(jnp.float32)
+
+    direction = -1.0 if t_end < t_start else 1.0
+    span = abs(t_end - t_start)
+    x0 = x.astype(jnp.float32)
+    state = (
+        x0,
+        jnp.float32(t_start),
+        jnp.float32(direction * span / 16.0),  # initial trial step
+        f(x0, jnp.float32(t_start)),           # FSAL k1
+        jnp.int32(0),
+    )
+
+    def cond_fn(state):
+        _, t, _, _, n = state
+        return (jnp.abs(t - t_end) > 1e-7) & (n < max_steps)
+
+    def body(state):
+        x32, t, dt, k1, n = state
+        # clamp onto the endpoint
+        dt = direction * jnp.minimum(jnp.abs(dt), jnp.abs(t_end - t))
+        ks = [k1]
+        for i, row in enumerate(_DOPRI_A):
+            xi = x32 + dt * sum(float(c) * k for c, k in zip(row, ks))
+            ks.append(f(xi, t + float(_DOPRI_C[i + 1]) * dt))
+        x5 = x32 + dt * sum(float(c) * k for c, k in zip(_DOPRI_B5, ks))
+        err = dt * sum(float(c5 - c4) * k for c5, c4, k in zip(_DOPRI_B5, _DOPRI_B4, ks))
+        tol = atol + rtol * jnp.maximum(jnp.abs(x32), jnp.abs(x5))
+        err_norm = jnp.sqrt(jnp.mean(jnp.square(err / tol)))
+        accept = err_norm <= 1.0
+        factor = jnp.clip(0.9 * jnp.power(jnp.maximum(err_norm, 1e-10), -0.2), 0.2, 5.0)
+        x_new = jnp.where(accept, x5, x32)
+        t_new = jnp.where(accept, t + dt, t)
+        k1_new = jnp.where(accept, ks[-1], k1)  # FSAL
+        return (x_new, t_new, dt * factor, k1_new, n + 1)
+
+    x_final, _, _, _, _ = jax.lax.while_loop(cond_fn, body, state)
+    return x_final.astype(x.dtype)
+
+
 def denoise_sde(
     transport: Transport,
     model_fn: ModelFn,
@@ -234,7 +314,6 @@ class Sampler:
         time_shifting_factor: float | None = None,
         strength: float | None = None,
     ):
-        del atol, rtol  # fixed-step solvers only (euler is the shipped default)
         if reverse:
             raise NotImplementedError("reverse sampling is unused by the pipeline")
 
@@ -250,6 +329,13 @@ class Sampler:
                     time_shifting_factor=time_shifting_factor,
                 )
             )
+            if sampling_method == "dopri5":
+                # adaptive: the shift only rewarps fixed grids; endpoints are
+                # preserved, so integrate [ts[0], ts[-1]] directly
+                return denoise_ode_adaptive(
+                    model_fn, x, float(ts[0]), float(ts[-1]), kwargs,
+                    cond=cond, atol=atol, rtol=rtol,
+                )
             return denoise_ode(model_fn, x, ts, kwargs, cond=cond, method=sampling_method)
 
         return sample_fn
