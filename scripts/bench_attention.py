@@ -22,6 +22,25 @@ sys.path.insert(0, ".")
 V5E_PEAK_BF16 = 197e12
 
 
+INNER = 20  # kernel calls per compiled program: amortizes the tunnel RTT
+
+
+def chain(call):
+    """Loop the kernel INNER times inside ONE program, feeding the output back
+    as q so XLA can't elide iterations (axon-tunnel timing rule: time big
+    compiled programs, never micro-ops)."""
+
+    def run(q, k, v):
+        def body(qc, _):
+            o = call(qc, k, v)
+            return o.astype(qc.dtype), None
+
+        out, _ = jax.lax.scan(body, q, None, length=INNER)
+        return out
+
+    return jax.jit(run)
+
+
 def measure(fn, *args, iters=5):
     _ = np.asarray(fn(*args)[..., :1, :1], np.float32)
     times = []
@@ -29,7 +48,7 @@ def measure(fn, *args, iters=5):
         t0 = time.perf_counter()
         _ = np.asarray(fn(*args)[..., :1, :1], np.float32)
         times.append(time.perf_counter() - t0)
-    return statistics.median(times)
+    return statistics.median(times) / INNER
 
 
 def main():
@@ -58,18 +77,18 @@ def main():
     if args.bwd:
         flops *= 3.5  # fwd + recompute + dq + dkv
 
-        def run(q, k, v):
+        def grad_call(qc, k, v):
             def loss(q, k, v):
                 return jnp.sum(fa.flash_mha(q, k, v, bias).astype(jnp.float32) ** 2)
 
-            return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)[0]
+            return jax.grad(loss, argnums=(0,))(qc, k, v)[0]
 
-        t = measure(jax.jit(run), q, k, v)
+        t = measure(chain(grad_call), q, k, v)
         print(f"bwd: {t * 1e3:.2f} ms  MFU {flops / t / V5E_PEAK_BF16:.1%}")
         return
 
-    for bq, bk in [(1024, 1024), (2048, 1024), (1024, 512), (512, 1024), (512, 512), (2048, 512)]:
-        f = jax.jit(lambda q, k, v, bq=bq, bk=bk: fa._flash_fwd(q, k, v, bias, block_q=bq, block_k=bk))
+    for bq, bk in [(1024, 1024), (2048, 1024), (1024, 512), (512, 1024), (512, 512)]:
+        f = chain(lambda qc, k, v, bq=bq, bk=bk: fa._flash_fwd(qc, k, v, bias, block_q=bq, block_k=bk))
         try:
             t = measure(f, q, k, v)
         except Exception as e:
@@ -77,8 +96,8 @@ def main():
             continue
         print(f"bq={bq} bk={bk}: {t * 1e3:.2f} ms  MFU {flops / t / V5E_PEAK_BF16:.1%}")
 
-    ref = jax.jit(lambda q, k, v: jax.nn.dot_product_attention(
-        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
+    ref = chain(lambda qc, k, v: jax.nn.dot_product_attention(
+        qc.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
     ).transpose(0, 2, 1, 3))
     t = measure(ref, q, k, v)
     print(f"XLA dot_product_attention: {t * 1e3:.2f} ms  MFU {flops / t / V5E_PEAK_BF16:.1%}")

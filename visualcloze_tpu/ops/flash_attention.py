@@ -27,8 +27,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 1024
+DEFAULT_BLOCK_Q = 2048  # fwd: measured 35.0% vs 34.5% MFU at 1024 (v5e, L=4096)
 DEFAULT_BLOCK_K = 1024
+# bwd kernels keep 1024x1024: their extra (BQ, BK) dl tile would blow the
+# 16 MB VMEM budget at BQ=2048
+DEFAULT_BLOCK_Q_BWD = 1024
 NEG_INF = -1e30
 
 
@@ -320,7 +323,7 @@ def _flash_fwd_lse(q, k, v, bias):
     q, k, v, bias, lq_pad, lk_pad = _pad_qkv(q, k, v, bias)
     b, h, lq_p, d = q.shape
     lk_p = k.shape[2]
-    bq = _pick_block(lq_p, DEFAULT_BLOCK_Q)
+    bq = _pick_block(lq_p, DEFAULT_BLOCK_Q_BWD)
     bk = _pick_block(lk_p, DEFAULT_BLOCK_K)
     grid = (b, h, lq_p // bq, lk_p // bk)
     with_bias = bias is not None
@@ -373,7 +376,7 @@ def _flash_mha_bwd(res, g):
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True)
     delta = jnp.broadcast_to(delta, (*delta.shape[:3], 128))  # lane-broadcast (B,H,Lq,128)
 
-    bq = _pick_block(lq_p, DEFAULT_BLOCK_Q)
+    bq = _pick_block(lq_p, DEFAULT_BLOCK_Q_BWD)
     bk = _pick_block(lk_p, DEFAULT_BLOCK_K)
     with_bias = bias is not None
     scale = d ** -0.5
