@@ -1,0 +1,129 @@
+"""Execute app.main against a mock gradio module: validates the demo UI
+wiring (grid cells, prompts, advanced options, 16 example galleries, event
+handlers) without the gradio dependency — the reference's interactive-QA
+surface (SURVEY §4 item 3) exercised as a test."""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+class FakeComponent:
+    def __init__(self, kind, **kwargs):
+        self.kind = kind
+        self.kwargs = kwargs
+        self.handlers = {}
+
+    def change(self, fn, inputs, outputs):
+        self.handlers.setdefault("change", []).append((fn, inputs, outputs))
+
+    def click(self, fn, inputs, outputs):
+        self.handlers.setdefault("click", []).append((fn, inputs, outputs))
+
+    def select(self, fn, inputs, outputs):
+        self.handlers.setdefault("select", []).append((fn, inputs, outputs))
+
+
+class FakeContext:
+    def __init__(self, kind, registry, **kwargs):
+        self.component = FakeComponent(kind, **kwargs)
+        registry.append(self.component)
+
+    def __enter__(self):
+        return self.component
+
+    def __exit__(self, *a):
+        return False
+
+
+def make_fake_gradio(registry):
+    gr = types.ModuleType("gradio")
+
+    def ctx(kind):
+        def make(*args, **kwargs):
+            return FakeContext(kind, registry, args=args, **kwargs)
+
+        return make
+
+    def comp(kind):
+        def make(*args, **kwargs):
+            c = FakeComponent(kind, args=args, **kwargs)
+            registry.append(c)
+            return c
+
+        return make
+
+    class Blocks(FakeContext):
+        def __init__(self, **kwargs):
+            super().__init__("Blocks", registry, **kwargs)
+            self.component.launch = lambda **kw: registry.append(
+                FakeComponent("launch", **kw)
+            )
+
+        def __enter__(self):
+            self.component.launch = self.component.launch
+            return self.component
+
+    class SelectData:
+        def __init__(self, index=0):
+            self.index = index
+
+    gr.Blocks = lambda **kw: Blocks(**kw)
+    gr.Row = ctx("Row")
+    gr.Accordion = ctx("Accordion")
+    gr.Tab = ctx("Tab")
+    gr.Markdown = comp("Markdown")
+    gr.Slider = comp("Slider")
+    gr.Image = comp("Image")
+    gr.Textbox = comp("Textbox")
+    gr.Number = comp("Number")
+    gr.Checkbox = comp("Checkbox")
+    gr.Button = comp("Button")
+    gr.Gallery = comp("Gallery")
+    gr.SelectData = SelectData
+    gr.update = lambda **kw: kw
+    return gr
+
+
+def test_app_main_builds_ui_and_handlers(monkeypatch, tmp_path):
+    registry: list[FakeComponent] = []
+    fake_gr = make_fake_gradio(registry)
+    monkeypatch.setitem(sys.modules, "gradio", fake_gr)
+
+    import app
+
+    monkeypatch.setattr(
+        sys, "argv", ["app.py", "--demo"], raising=False
+    )
+    app.main()
+
+    kinds = [c.kind for c in registry]
+    assert kinds.count("Image") >= 25 + 1  # 5x5 grid + output
+    assert "launch" in kinds
+    galleries = [c for c in registry if c.kind == "Gallery"]
+    assert len(galleries) == 16  # one per task family
+    assert all(len(c.kwargs.get("value", [])) >= 1 for c in galleries)
+
+    # fire a gallery select handler: it must return grid dims + prompts + cells
+    fn, _, _ = galleries[0].handlers["select"][0]
+    out = fn(fake_gr.SelectData(index=0))
+    assert len(out) == 7 + 25
+    gh, gw = out[0], out[1]
+    assert gh >= 2 and gw >= 2
+    assert isinstance(out[2], str) and out[2]  # layout prompt
+
+    # fire the generate click with a tiny 2x2 grid of images
+    btn = next(c for c in registry if c.kind == "Button")
+    gen_fn, inputs, _ = btn.handlers["click"][0]
+    n = 25
+    img = Image.fromarray(
+        np.random.default_rng(0).integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    )
+    images = [img, img, img, None] + [None] * (n - 4)
+    out_img = gen_fn(2, 2, *images,
+                     "A grid layout with 2 rows and 2 columns, displaying 4 images arranged side by side.",
+                     "task", "content", 0, 30.0, 2, 2, 1.0, False)
+    assert out_img is not None
