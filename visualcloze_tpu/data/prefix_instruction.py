@@ -93,57 +93,155 @@ _IMAGE_PROMPTS: dict[str, list[str]] = {
         "an aesthetically pleasing image",
         "a sharp, well-exposed picture",
         "the original full-color image",
+        "a detailed, artifact-free photograph",
+        "a crisp image with natural colors",
+        "a professionally captured photo",
+        "an unedited high-resolution picture",
+        "a visually rich, well-composed image",
     ],
     "reference": [
         "a reference image of the same subject",
         "an image showing the identical object in another scene",
         "a photo depicting the same item elsewhere",
+        "another view of the same subject",
+        "the subject photographed in a different setting",
+        "a second picture featuring the identical object",
+        "an alternate capture of the same entity",
+        "the same subject under different conditions",
+        "a companion photo of the identical item",
+        "an additional exemplar of the subject",
     ],
     "canny": [
         "a canny edge map of the image",
         "white edge contours on a black background",
         "an edge-detection sketch of the scene",
+        "thin white outlines tracing every boundary",
+        "a binary contour drawing extracted from the photo",
+        "the scene reduced to its canny edges",
+        "a black canvas with white detected edges",
+        "an edge skeleton highlighting object silhouettes",
+        "a line rendering from gradient-based edge detection",
+        "the picture's structural edges in white on black",
     ],
     "depth": [
         "a depth map of the scene",
         "a grayscale map where brightness encodes distance",
         "a per-pixel depth estimation result",
+        "a monochrome rendering of scene geometry by distance",
+        "near-to-far structure shown as light-to-dark shading",
+        "an estimated depth field of the photograph",
+        "a smooth grayscale surface encoding camera distance",
+        "the scene's 3D layout visualized as a depth image",
+        "a range map computed from the photo",
+        "a distance-coded grayscale visualization",
     ],
     "hed": [
         "a holistically-nested edge map",
         "a soft edge drawing of the image",
+        "smooth, thick contour strokes of the scene",
+        "a soft-boundary sketch from nested edge detection",
+        "fuzzy white object outlines on a dark field",
+        "a perceptual edge map with gradual strokes",
+        "the picture's soft contours rendered in white",
+        "an HED boundary drawing of the photograph",
+        "blurred-stroke outlines of all major shapes",
+        "a soft-edged structural sketch",
     ],
     "normal": [
         "a surface normal map",
         "an RGB-encoded normal estimation of the scene",
+        "surface orientations painted in purple, green and blue",
+        "a normal-vector visualization of scene geometry",
+        "per-pixel surface directions as RGB colors",
+        "a colorful rendering of surface slopes",
+        "the geometry's facing directions encoded in color",
+        "an estimated normal field of the photo",
+        "a smooth RGB map of surface orientation",
+        "scene surfaces color-coded by their normals",
     ],
     "mlsd": [
         "a wireframe of straight line segments",
         "an M-LSD line segment detection map",
+        "white straight lines marking architectural edges",
+        "a sparse line drawing of straight structures",
+        "detected line segments on a black background",
+        "the scene's straight boundaries as thin strokes",
+        "a geometric wireframe from line detection",
+        "only the straight edges of the picture",
+        "a segment map of walls, frames and edges",
+        "a minimalist straight-line sketch",
     ],
     "openpose": [
         "a human pose skeleton rendering",
         "an openpose keypoint diagram",
+        "colored bones and joints over a black canvas",
+        "a stick-figure skeleton of the person's pose",
+        "body keypoints connected by colored limbs",
+        "the subject's posture as a pose graph",
+        "a skeletal pose map with joint markers",
+        "an articulated body-landmark drawing",
+        "limb segments drawn in rainbow colors",
+        "a pose-estimation overlay on black",
     ],
     "sam2_mask": [
         "a colorful SAM2 segmentation of all regions",
         "an automatic everything-mask segmentation",
+        "the scene partitioned into vivid colored segments",
+        "a patchwork of region masks in bright colors",
+        "instance regions filled with distinct hues",
+        "a segment-anything mask mosaic",
+        "every object region painted a different color",
+        "an automatic region decomposition of the photo",
+        "a dense segmentation quilt of the scene",
+        "color-coded masks covering the whole image",
     ],
     "uniformer": [
         "a semantic segmentation map",
         "a palette-colored semantic parsing of the scene",
+        "category regions filled with flat colors",
+        "a class-label painting of the photograph",
+        "semantic regions in a fixed color palette",
+        "the scene labeled by object category colors",
+        "a flat-color semantic layout of the image",
+        "pixel-level class regions rendered as colors",
+        "a segmentation where each color is a category",
+        "a semantic region map of the picture",
     ],
     "mask": [
         "the image with a random region masked out",
         "a partially occluded copy of the image",
+        "the photo with a blanked-out patch",
+        "an image where part of the content is hidden",
+        "the picture with an erased rectangular region",
+        "a masked variant missing some pixels",
+        "the scene with a covered area awaiting fill-in",
+        "an incomplete image with a cut-out hole",
+        "the photo with one region removed",
+        "a copy of the image containing a void region",
     ],
     "foreground": [
         "the extracted foreground subject on a plain backdrop",
         "the salient object cut out from its background",
+        "only the main subject, background removed",
+        "a clean cut-out of the central object",
+        "the subject isolated against black",
+        "a matte extraction of the foreground",
+        "the primary object segmented from its scene",
+        "the focal subject with surroundings blanked",
+        "an isolated-subject rendering of the photo",
+        "the main entity lifted off its background",
     ],
     "background": [
         "the background with the subject removed",
         "the scene with the main object erased",
+        "only the surroundings, subject blanked out",
+        "the environment left after cutting the subject",
+        "a backdrop plate missing the focal object",
+        "the setting with a subject-shaped hole",
+        "the scene minus its central entity",
+        "an empty-stage version of the photo",
+        "the photo's environment without the subject",
+        "the residual background after extraction",
     ],
     # style types expand into two columns: the style source swatch and the
     # stylized content image (ref :676-677 returns one prompt for each)
@@ -151,28 +249,108 @@ _IMAGE_PROMPTS: dict[str, list[str]] = {
         "an image that defines the artistic style to imitate",
         "a swatch carrying the palette and brushwork of the style",
         "the style exemplar whose look should be borrowed",
+        "a sample artwork establishing the target aesthetic",
+        "the visual style donor image",
+        "an exemplar of the desired rendering style",
+        "a reference painting supplying the style",
+        "the stylistic template to transfer from",
+        "an artwork whose technique should be copied",
+        "the source of the artistic treatment",
     ],
     "style_target": [
         "an image rendered in that distinctive artistic style",
         "a stylized variant sharing the palette of its style pair",
         "the content re-imagined with the exemplar's style",
+        "the photo repainted in the reference style",
+        "a style-transferred rendition of the content",
+        "the scene redrawn with the borrowed aesthetic",
+        "the same content wearing the donor style",
+        "an artistic re-rendering matching the style swatch",
+        "the image transformed to the exemplar's look",
+        "a restyled version following the style source",
     ],
     "DepthEdit": [
         "a new image generated from the depth layout",
         "a depth-guided re-synthesis of the scene",
+        "different content placed on the same 3D structure",
+        "a re-imagined scene preserving the depth geometry",
+        "fresh appearance over the original depth skeleton",
+        "the layout kept, the content replaced via depth",
+        "a depth-conditioned variation of the picture",
+        "new textures painted onto the old geometry",
+        "a structure-preserving content edit",
+        "an alternate scene sharing the depth map",
     ],
     "FillEdit": [
         "an edited image with new content filled into the masked region",
         "the image after inpainting-based object replacement",
+        "the photo with one object swapped via infilling",
+        "a locally edited picture with replaced content",
+        "the scene with a region regenerated anew",
+        "an object-substituted version of the image",
+        "the picture after a masked-region rewrite",
+        "a fill-in edit placing something new in the hole",
+        "the image with an inpainted replacement object",
+        "a seamless local edit of the original photo",
     ],
 }
 
 
+# per-degradation descriptions: (noun phrase, effect clause). Composed with
+# the sentence frames below into 10 variants per type (the reference bank
+# hand-writes ~10 lines per degradation, ref :54-682; same variety, original
+# text, one fact source per type).
+_DEGRADATION_DESC: dict[str, tuple[str, str]] = {
+    "blur": ("a blurred photograph", "softened by a blur that smears fine detail"),
+    "compression": ("a compression-damaged image", "scarred by blocky compression artifacts"),
+    "SRx2": ("a half-resolution upsample", "softened by 2x downsampling and re-enlargement"),
+    "SRx4": ("a quarter-resolution upsample", "heavily softened by 4x down-up resampling"),
+    "pixelate": ("a pixelated image", "coarsened into large square pixels"),
+    "Defocus": ("a defocused photo", "out of focus with disc-shaped bokeh blur"),
+    "GaussianBlur": ("a gaussian-blurred image", "smoothed by a wide gaussian kernel"),
+    "oversharpen": ("an oversharpened picture", "ringed by halos from excessive sharpening"),
+    "GaussianNoise": ("a noisy photograph", "speckled with gaussian sensor noise"),
+    "PoissonNoise": ("a photon-noise image", "grainy with signal-dependent poisson noise"),
+    "SPNoise": ("a salt-and-pepper image", "peppered with black and white impulse dots"),
+    "mosaic": ("a bayer-mosaic image", "reduced to a raw color-filter mosaic"),
+    "contrast_strengthen": ("a high-contrast image", "pushed to exaggerated contrast"),
+    "contrast_weaken": ("a low-contrast image", "washed out by flattened contrast"),
+    "quantization": ("a color-quantized image", "banded by reduced color levels"),
+    "JPEG": ("a JPEG-compressed photo", "marred by 8x8 block JPEG artifacts"),
+    "brighten": ("an overbrightened image", "washed toward white by excess brightness"),
+    "darken": ("an underexposed image", "sunk into shadow by darkening"),
+    "LowLight": ("a low-light photo", "dim and noisy as if shot in near darkness"),
+    "saturate_strengthen": ("an oversaturated image", "glowing with exaggerated color saturation"),
+    "saturate_weaken": ("a desaturated image", "drained of color toward gray"),
+    "gray": ("a grayscale image", "converted to pure monochrome"),
+    "ColorDistortion": ("a color-distorted image", "with channels swapped or clipped oddly"),
+    "Inpainting": ("a scribbled-over image", "defaced by thick strokes that hide content"),
+    "rotate90": ("a 90-degree-rotated image", "turned a quarter-turn clockwise"),
+    "rotate180": ("an upside-down image", "rotated a half turn"),
+    "rotate270": ("a 270-degree-rotated image", "turned a quarter-turn counter-clockwise"),
+    "Barrel": ("a barrel-distorted image", "bulging outward from lens distortion"),
+    "Pincushion": ("a pincushion-distorted image", "pinched inward at the center"),
+    "Elastic": ("an elastically warped image", "wobbled by rubber-sheet deformation"),
+    "Rain": ("a rain-streaked photo", "veiled by diagonal rain streaks"),
+    "Frost": ("a frosted image", "clouded by icy frost patterns"),
+}
+
+
 def _degradation_prompt(deg: str) -> list[str]:
+    noun, clause = _DEGRADATION_DESC.get(
+        deg, (f"an image degraded by {deg}", f"altered by the {deg} degradation")
+    )
     return [
-        f"the image degraded by {deg}",
-        f"a corrupted copy of the image ({deg})",
-        f"the picture after applying the {deg} degradation",
+        noun,
+        f"an image {clause}",
+        f"a photo {clause}",
+        f"a degraded copy of the original, {clause}",
+        f"the same scene but {clause}",
+        f"{noun} derived from the clean picture",
+        f"a corrupted rendition, {clause}",
+        f"the photograph {clause}",
+        f"{noun} that needs restoration",
+        f"a low-quality version, {clause}",
     ]
 
 
