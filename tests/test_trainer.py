@@ -133,3 +133,31 @@ def test_checkpoint_roundtrip(tmp_path):
     lora2 = ckpt.load_torch_lora(str(tmp_path / "0000007" / "consolidated.00-of-01.pth"), cfg)
     for a, b in zip(jax.tree.leaves(lora), jax.tree.leaves(lora2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_trainer_cli_with_sequence_parallelism(tmp_path):
+    """One CLI step with --cp 2: ring attention over the cp mesh axis in the
+    real jitted train step (SURVEY §5.7 — the SP the reference left as TODO)."""
+    from visualcloze_tpu.training.train import main
+
+    random.seed(0)
+    config = make_dataset_files(tmp_path)
+    main(
+        [
+            "--data_path", config,
+            "--results_dir", str(tmp_path / "results_cp"),
+            "--tiny", "--init_random",
+            "--max_steps", "1",
+            "--global_bsz", "2",
+            "--micro_bsz", "1",
+            "--grid_resolution", "64",
+            "--lora_rank", "4",
+            "--ckpt_every", "1",
+            "--log_every", "1",
+            "--num_workers", "1",
+            "--max_seq_bucket", "128",
+            "--fsdp", "2", "--cp", "2",
+            "--precision", "fp32",
+        ]
+    )
+    assert (tmp_path / "results_cp" / "checkpoints" / "0000001").is_dir()

@@ -84,6 +84,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--fsdp", type=int, default=0, help="0 = all remaining devices")
     p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--cp", type=int, default=1,
+                   help="sequence/context parallelism: ring attention over a "
+                        "cp mesh axis (requires seq bucket divisible by cp)")
     # checkpointing / resume
     p.add_argument("--ckpt_every", type=int, default=1000)
     p.add_argument("--log_every", type=int, default=10)
@@ -116,9 +119,10 @@ def main(argv=None) -> None:
     enable_compilation_cache()
 
     n_dev = len(jax.devices())
-    fsdp = args.fsdp or max(1, n_dev // (args.dp * args.tp))
-    mesh = create_mesh(dp=args.dp, fsdp=fsdp, tp=args.tp)
-    logger.info("mesh: dp=%d fsdp=%d tp=%d over %d devices", args.dp, fsdp, args.tp, n_dev)
+    fsdp = args.fsdp or max(1, n_dev // (args.dp * args.tp * args.cp))
+    mesh = create_mesh(dp=args.dp, fsdp=fsdp, tp=args.tp, cp=args.cp)
+    logger.info("mesh: dp=%d fsdp=%d tp=%d cp=%d over %d devices",
+                args.dp, fsdp, args.tp, args.cp, n_dev)
 
     # ----- models -----
     spec = configs[args.model_name]
@@ -167,6 +171,13 @@ def main(argv=None) -> None:
         "Linear", "velocity", snr_type=args.snr_type, do_shift=not args.no_shift
     )
     compute_dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    attn_impl = "auto"
+    if args.cp > 1:
+        from ..ops.attention import RingSpec
+
+        # ring attention over the cp axis; xla chunks are the differentiable
+        # path (ops/attention.RingSpec)
+        attn_impl = RingSpec(mesh=mesh, axis="cp", chunk_impl="xla")
     train_step = jax.jit(
         make_train_step(
             flux_cfg, transport, optimizer, args.training_type,
@@ -174,6 +185,7 @@ def main(argv=None) -> None:
             remat=args.checkpointing,
             remat_policy=None if args.remat_policy == "full" else args.remat_policy,
             compute_dtype=compute_dtype,
+            attn_impl=attn_impl,
         ),
         donate_argnums=(0,),
     )
