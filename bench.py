@@ -63,9 +63,10 @@ def _time3(fn, *args) -> float:
     return statistics.median(times)
 
 
-def _free(*objs) -> None:
-    for o in objs:
-        del o
+def _free() -> None:
+    """Call AFTER dropping the phase's references (each phase function holds
+    them in locals that die on return): collect + drop compiled programs so
+    the next phase starts with a clean HBM."""
     gc.collect()
     jax.clear_caches()
 
@@ -188,7 +189,8 @@ def bench_text_encoders() -> float:
     _sync(f(t5_params, clip_params, t5_ids, clip_ids))
     p50 = _time3(f, t5_params, clip_params, t5_ids, clip_ids)
     print(f"T) T5-XXL(512)+CLIP-L(77) bf16: {p50 * 1e3:.0f} ms", file=sys.stderr)
-    _free(t5_params, clip_params, f)
+    del t5_params, clip_params, f
+    _free()
     return p50
 
 
@@ -218,7 +220,8 @@ def bench_vae() -> float:
     p50 = _time3(f, params, rows)
     print(f"V) VAE encode+decode {N_ROWS}x{ROW_H}x{ROW_W} bf16: {p50 * 1e3:.0f} ms",
           file=sys.stderr)
-    _free(params, f)
+    del params, f
+    _free()
     return p50
 
 
@@ -244,7 +247,8 @@ def bench_bf16_slice(ts) -> dict:
         f"{p50 / STEPS * 1e3:.1f} ms/step, MFU {mfu:.1%}; 12B extrapolation {extrap:.2f}s",
         file=sys.stderr,
     )
-    _free(params, run, inp)
+    del params, run, inp
+    _free()
     return {"extrapolated": extrap, "mfu": mfu, "full_flops": full_fl}
 
 
@@ -285,7 +289,8 @@ def bench_int8_full(ts) -> float | None:
     print(f"B) FULL 12B int8 (measured, 1 chip, on-disk ckpt): {p50:.2f}s / "
           f"30-step query ({p50 / STEPS * 1e3:.0f} ms/step; compile+load {t_load:.0f}s one-time)",
           file=sys.stderr)
-    _free(compiled, dev_params, dev_x, dev_ts, host)
+    del compiled, dev_params, dev_x, dev_ts, host
+    _free()
     return p50
 
 

@@ -15,7 +15,6 @@ from __future__ import annotations
 import os
 import random
 from dataclasses import dataclass, field
-from pathlib import Path
 
 from visualcloze_tpu.data.prefix_instruction import (
     get_content_instruction,
@@ -41,8 +40,12 @@ _KNOWN_TYPES = (
 
 
 class _AssetPaths(dict):
-    """dict of modality -> path that resolves unknown image types (e.g.
-    degradation names, DepthEdit) through the same naming convention."""
+    """dict of modality -> path that also resolves unknown image types (e.g.
+    degradation names, DepthEdit) through the same naming convention.
+
+    get() is existence-checked: it returns the conventional path only when
+    the file is actually on disk, else the caller's default — so galleries
+    degrade to empty/None cells instead of fabricating dead paths."""
 
     def __init__(self, file_id: str, prompt: str):
         super().__init__({t: asset_path(file_id, t) for t in _KNOWN_TYPES})
@@ -50,9 +53,10 @@ class _AssetPaths(dict):
         self._file_id = file_id
 
     def get(self, key, default=None):  # noqa: A003 - dict API
-        if key in self:
-            return super().get(key)
-        return asset_path(self._file_id, key)
+        if key == "prompt":
+            return super().get(key, default)
+        path = super().get(key) or asset_path(self._file_id, key)
+        return path if os.path.exists(path) else default
 
 
 def generate_paths_from_id(file_id: str, prompt: str) -> dict[str, str]:
@@ -87,11 +91,14 @@ _FAMILY_DEFS: dict[str, list[TaskExample]] = {}
 
 
 def _available(examples: list[TaskExample]) -> list[TaskExample]:
+    """Keep only examples whose EVERY non-masked grid cell exists on disk
+    (a partially-written asset pack must not surface dead gallery entries).
+    rows() yields None for the masked tail cells and — via the
+    existence-checked get() — for any missing asset file."""
     out = []
     for ex in examples:
-        paths = generate_paths_from_id(ex.file_ids[0], "")
-        first = paths.get(ex.image_type_list[0])
-        if first and Path(first).exists():
+        cells = [c for row in ex.rows(context_num=1) for c in row]
+        if all(c is not None for c in cells[: len(cells) - ex.mask_count]):
             out.append(ex)
     return out
 

@@ -28,11 +28,12 @@ def test_examples_registry():
     paths = generate_paths_from_id("abc", "a cat")
     assert paths["canny"].endswith("abc_canny.jpg")
     assert paths["prompt"] == "a cat"
-    # no asset pack in this environment -> families registered but empty
+    # get() is existence-checked: fabricated ids resolve to the default
+    assert paths.get("canny") is None and paths.get("canny", "fb") == "fb"
     assert isinstance(task_families, dict)
     ex = TaskExample(
         name="canny to image", image_type_list=["canny", "target"],
-        file_ids=["x0", "x1"], prompts=["p0", "p1"],
+        file_ids=["dense_0", "dense_1"], prompts=["p0", "p1"],  # committed pack
     )
     out = process_tasks(ex, context_num=1)
     mask_count, grid_h, grid_w = out[0], out[1], out[2]
@@ -40,6 +41,14 @@ def test_examples_registry():
     assert len(out) == 8 + grid_h * grid_w
     grid = ex.rows(context_num=1)
     assert grid[-1][-1] is None and grid[0][0] is not None
+
+    # an example whose assets don't exist must not surface in a family
+    from examples import register_task_family
+
+    register_task_family("__missing__", [TaskExample(
+        name="ghost", image_type_list=["canny", "target"],
+        file_ids=["nope_0", "nope_1"], prompts=["p", "p"])])
+    assert task_families["__missing__"] == []
 
 
 def test_all_16_gallery_families_have_assets():

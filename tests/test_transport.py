@@ -255,3 +255,24 @@ def test_dopri5_via_sampler_and_tolerance_effect():
         denoise_ode_adaptive(model_fn, x0, 1.0, 0.0, {}, atol=1e-8, rtol=1e-7, max_steps=512)
     )
     assert np.abs(tight - want).mean() <= np.abs(loose - want).mean() + 1e-7
+
+
+def test_dopri5_fails_loud_on_budget_exhaustion():
+    """Exhausting max_steps (or a NaN velocity) must return NaN, never a
+    silently half-integrated latent."""
+    import jax.numpy as jnp
+
+    from visualcloze_tpu.transport.sampling import denoise_ode_adaptive
+
+    def stiff(x, timesteps, **_):
+        return -x * 1e6  # forces tiny steps; budget of 4 cannot reach t_end
+
+    x0 = jnp.ones((1, 8, 4), jnp.float32)
+    out = np.asarray(denoise_ode_adaptive(stiff, x0, 1.0, 0.0, {}, max_steps=4))
+    assert np.isnan(out).all()
+
+    def nan_model(x, timesteps, **_):
+        return x * jnp.nan
+
+    out2 = np.asarray(denoise_ode_adaptive(nan_model, x0, 1.0, 0.0, {}, max_steps=8))
+    assert np.isnan(out2).all()

@@ -574,6 +574,9 @@ test_task_dicts: list[dict] = [
         "image_list": [["reference", c, "InstantStyle"] for c in _COND_WITH_STYLE],
     },
     {
+        # reference-faithful duplicate of the 0.2-weight group above
+        # (ref :1079-1085 repeats it at weight 1; sample.py's id-dedup then
+        # skips the repeat — same behavior as the reference sweep)
         "task_name": "subject extraction",
         "sample_weight": 1,
         "image_list": [["target", "reference"]],

@@ -38,17 +38,18 @@ def _ln(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 
 def _sdpa(q, k, v, num_heads):
-    """(B, L, D) -> (B, L, D) standard softmax attention."""
+    """(B, L, D) -> (B, L, D): head split/merge around the shared fp32-softmax
+    attention core (ops/attention.mha_xla — one implementation to keep
+    numerically consistent)."""
+    from ..ops.attention import mha_xla
+
     b, L, D = q.shape
     hd = D // num_heads
 
     def split(x):
         return x.reshape(b, L, num_heads, hd).transpose(0, 2, 1, 3)
 
-    q, k, v = split(q), split(k), split(v)
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(logits * hd**-0.5, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    out = mha_xla(split(q), split(k), split(v), None)
     return out.transpose(0, 2, 1, 3).reshape(b, L, D)
 
 

@@ -145,14 +145,22 @@ def denoise_ode_adaptive(
         err = dt * sum(float(c5 - c4) * k for c5, c4, k in zip(_DOPRI_B5, _DOPRI_B4, ks))
         tol = atol + rtol * jnp.maximum(jnp.abs(x32), jnp.abs(x5))
         err_norm = jnp.sqrt(jnp.mean(jnp.square(err / tol)))
-        accept = err_norm <= 1.0
-        factor = jnp.clip(0.9 * jnp.power(jnp.maximum(err_norm, 1e-10), -0.2), 0.2, 5.0)
+        accept = err_norm <= 1.0  # False on NaN: a NaN step is never accepted
+        factor = jnp.where(
+            jnp.isfinite(err_norm),
+            jnp.clip(0.9 * jnp.power(jnp.maximum(err_norm, 1e-10), -0.2), 0.2, 5.0),
+            0.5,  # non-finite error: halve and retry rather than poisoning dt
+        )
         x_new = jnp.where(accept, x5, x32)
         t_new = jnp.where(accept, t + dt, t)
         k1_new = jnp.where(accept, ks[-1], k1)  # FSAL
         return (x_new, t_new, dt * factor, k1_new, n + 1)
 
-    x_final, _, _, _, _ = jax.lax.while_loop(cond_fn, body, state)
+    x_final, t_final, _, _, _ = jax.lax.while_loop(cond_fn, body, state)
+    # Loud failure: if the step budget ran out (or the model went NaN) before
+    # reaching t_end, return NaN instead of a silently half-integrated latent.
+    converged = jnp.abs(t_final - t_end) <= 1e-6
+    x_final = jnp.where(converged, x_final, jnp.float32(jnp.nan))
     return x_final.astype(x.dtype)
 
 
