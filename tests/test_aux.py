@@ -162,3 +162,54 @@ def test_likelihood_linear_field_analytic():
     )
     want = prior + a * n  # integral of div over t in [0, 1]
     np.testing.assert_allclose(np.asarray(logp), want, rtol=1e-4)
+
+
+def test_prepare_control_with_native_depth_tower(tiny_stack):
+    """BFL prepare_control end-to-end with the native DepthAnything tower as
+    the control encoder (the towers ARE the encoder callables)."""
+    import torch
+    from PIL import Image
+
+    from visualcloze_tpu.models.image_embedders import DepthImageEncoder
+    from visualcloze_tpu.models.sampling import prepare_control
+    from visualcloze_tpu.models.vision_towers import (
+        DepthAnythingTowerConfig,
+        convert_depth_anything,
+    )
+    from transformers import (
+        DepthAnythingConfig,
+        DepthAnythingForDepthEstimation,
+        Dinov2Config,
+    )
+
+    ae, t5, clip = tiny_stack
+    cfg = DepthAnythingTowerConfig().tiny()
+    bb = Dinov2Config(
+        hidden_size=cfg.hidden_size, num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads, intermediate_size=cfg.intermediate_size,
+        image_size=cfg.image_size, patch_size=cfg.patch_size,
+        out_indices=list(cfg.out_indices),
+        out_features=[f"stage{i}" for i in cfg.out_indices],
+        reshape_hidden_states=False,
+    )
+    torch.manual_seed(0)
+    hf = DepthAnythingForDepthEstimation(DepthAnythingConfig(
+        backbone_config=bb, fusion_hidden_size=cfg.fusion_hidden_size,
+        neck_hidden_sizes=list(cfg.neck_hidden_sizes),
+        head_hidden_size=cfg.head_hidden_size,
+        reassemble_hidden_size=cfg.hidden_size, patch_size=cfg.patch_size,
+    ))
+    params = convert_depth_anything(
+        {k: v.detach().numpy() for k, v in hf.state_dict().items()}, cfg
+    )
+    encoder = DepthImageEncoder(params=params, cfg=cfg)
+
+    H = W = 32
+    img = jnp.zeros((1, H // 8, W // 8, ae.cfg.z_channels))
+    pil = Image.fromarray(
+        np.random.default_rng(0).integers(0, 256, (H, W, 3), dtype=np.uint8)
+    )
+    out = prepare_control(t5, clip, img, "p", ae, encoder, pil, jax.random.PRNGKey(0))
+    L = (H // 16) * (W // 16)
+    assert out["img_cond"].shape == (1, L, 4 * ae.cfg.z_channels)
+    assert np.isfinite(np.asarray(out["img_cond"], np.float32)).all()

@@ -135,10 +135,11 @@ def build_visualcloze(
 
     model_path: the trained VisualCloze LoRA checkpoint (.pth/.safetensors).
     quantize="int8": weight-only int8 DiT (single-chip 12B serving,
-    models/quant.py). Caveat: feeding a pre-built 12 GB tree into the jitted
-    denoise program can trigger a whole-tree PJRT relayout copy that OOMs a
-    16 GB chip — prefer the multi-chip bf16 mesh, or load via
-    format-matched device_put (see bench.py's in-program pattern).
+    models/quant.py). For 16 GB chips, load the quantized tree through
+    pipeline/serving.py (save_params_dir once, then compile-first +
+    format-matched device_put via load_compiled_params) — a plain whole-tree
+    device_put can trigger a PJRT relayout copy that OOMs; bench.py phase B
+    is the worked example of the serving path.
     """
     del lora_rank  # rank is read from the checkpoint shapes
     flux_cfg, params = load_flux_params(model_name, lora_path=model_path, dtype=dtype)
