@@ -161,3 +161,39 @@ def test_trainer_cli_with_sequence_parallelism(tmp_path):
         ]
     )
     assert (tmp_path / "results_cp" / "checkpoints" / "0000001").is_dir()
+
+
+def test_checkpoint_reshard_on_restore(tmp_path):
+    """A checkpoint saved under one mesh restores onto a DIFFERENT mesh with
+    the new shardings applied (the reference asserts same world size instead,
+    train.py:446-453; without restore_into FSDP would silently replicate)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from visualcloze_tpu.parallel import create_mesh, replicate_tree, shard_params
+
+    cfg = FluxConfig().tiny()
+    mesh_a = create_mesh(fsdp=8)
+    params_a = shard_params(init_flux(jax.random.PRNGKey(0), cfg), mesh_a)
+    lora_a = replicate_tree(init_lora(jax.random.PRNGKey(1), params_a, rank=4), mesh_a)
+    opt = make_optimizer()
+    state_a = init_train_state(params_a, lora_a, opt, "lora", use_ema=False)
+    path = ckpt.save_checkpoint(str(tmp_path), 5, state_a, cfg)
+
+    mesh_b = create_mesh(fsdp=2, tp=2)
+    params_b = shard_params(init_flux(jax.random.PRNGKey(7), cfg), mesh_b)
+    lora_b = replicate_tree(init_lora(jax.random.PRNGKey(8), params_b, rank=4), mesh_b)
+    state_b = init_train_state(params_b, lora_b, opt, "lora", use_ema=False)
+
+    template = jax.device_get(
+        {"params": state_b.params, "lora": state_b.lora,
+         "opt_state": state_b.opt_state, "ema": state_b.ema, "step": state_b.step}
+    )
+    restored = ckpt.load_checkpoint(path, abstract_state=template)
+    state_b = ckpt.restore_into(state_b, restored)
+
+    # values come from the checkpoint; shardings come from mesh B
+    for a, b in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    big = state_b.params["double_blocks"]["img_attn"]["qkv"]["w"]
+    assert big.sharding.mesh.shape["fsdp"] == 2  # mesh B, not mesh A's 8
+    assert big.sharding.mesh.shape["tp"] == 2

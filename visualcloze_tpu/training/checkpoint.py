@@ -91,6 +91,33 @@ def load_checkpoint(ckpt_dir: str, abstract_state: dict | None = None) -> dict:
         return ckptr.restore(Path(ckpt_dir, "state").absolute())
 
 
+def restore_into(state: TrainState, restored: dict) -> TrainState:
+    """Place a restored (host) state pytree back onto the CURRENT state's
+    shardings — true reshard-on-restore: the saved mesh shape is irrelevant
+    (the reference instead asserts the same world size, train.py:446-453).
+    Without this, plain jnp.asarray leaves would silently replicate FSDP
+    params per device on resume."""
+    import jax.numpy as jnp
+
+    def place(template_leaf, restored_leaf):
+        x = jnp.asarray(restored_leaf)
+        sharding = getattr(template_leaf, "sharding", None)
+        return jax.device_put(x, sharding) if sharding is not None else x
+
+    def place_tree(template, tree):
+        if tree is None:
+            return None
+        return jax.tree.map(place, template, tree)
+
+    return state._replace(
+        step=jnp.asarray(restored["step"]),
+        params=place_tree(state.params, restored["params"]),
+        lora=place_tree(state.lora, restored["lora"]),
+        opt_state=place_tree(state.opt_state, restored["opt_state"]),
+        ema=place_tree(state.ema, restored["ema"]),
+    )
+
+
 def load_resume_step(ckpt_dir: str) -> int:
     path = Path(ckpt_dir) / "resume_step.txt"
     return int(path.read_text().strip()) if path.exists() else 0

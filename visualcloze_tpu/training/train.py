@@ -203,13 +203,8 @@ def main(argv=None) -> None:
              "opt_state": state.opt_state, "ema": state.ema, "step": state.step}
         )
         restored = ckpt.load_checkpoint(resume_dir, abstract_state=template)
-        state = state._replace(
-            step=jnp.asarray(restored["step"]),
-            params=jax.tree.map(jnp.asarray, restored["params"]),
-            lora=jax.tree.map(jnp.asarray, restored["lora"]) if restored["lora"] is not None else None,
-            opt_state=jax.tree.map(jnp.asarray, restored["opt_state"]),
-            ema=jax.tree.map(jnp.asarray, restored["ema"]) if restored["ema"] is not None else None,
-        )
+        # reshard-on-restore: leaves go back onto the CURRENT mesh's shardings
+        state = ckpt.restore_into(state, restored)
         resume_step = ckpt.load_resume_step(resume_dir)
 
     # ----- data -----
