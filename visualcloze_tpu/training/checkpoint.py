@@ -102,7 +102,11 @@ def restore_into(state: TrainState, restored: dict) -> TrainState:
     def place(template_leaf, restored_leaf):
         x = jnp.asarray(restored_leaf)
         sharding = getattr(template_leaf, "sharding", None)
-        return jax.device_put(x, sharding) if sharding is not None else x
+        # only re-commit mesh-sharded leaves; single-device leaves stay
+        # uncommitted so jit remains free to co-locate them
+        if isinstance(sharding, jax.sharding.NamedSharding):
+            return jax.device_put(x, sharding)
+        return x
 
     def place_tree(template, tree):
         if tree is None:
@@ -110,7 +114,7 @@ def restore_into(state: TrainState, restored: dict) -> TrainState:
         return jax.tree.map(place, template, tree)
 
     return state._replace(
-        step=jnp.asarray(restored["step"]),
+        step=place(state.step, restored["step"]),
         params=place_tree(state.params, restored["params"]),
         lora=place_tree(state.lora, restored["lora"]),
         opt_state=place_tree(state.opt_state, restored["opt_state"]),
