@@ -361,3 +361,25 @@ def test_flash_backward_nonaligned_length():
     (wq,) = want_vjp(g)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want_out), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(dq), np.asarray(wq), rtol=2e-3, atol=2e-3)
+
+
+def test_prepare_modified_broadcasts_single_image_to_prompts():
+    import jax.numpy as jnp
+
+    from visualcloze_tpu.models.sampling import prepare_modified
+
+    def t5(prompts):
+        return jnp.zeros((len(prompts), 4, 8))
+
+    def clip(prompts):
+        return jnp.zeros((len(prompts), 6))
+
+    rows = [[jnp.zeros((4, 4, 2))]]
+    out = prepare_modified(t5, clip, rows, ["a", "b"], proportion_empty_prompts=0.0)
+    assert out["img"].shape[0] == 2 and out["img_mask"].shape[0] == 2
+
+    import pytest
+
+    with pytest.raises(ValueError, match="batch mismatch"):
+        prepare_modified(t5, clip, [rows[0], rows[0], rows[0]], ["a", "b"],
+                         proportion_empty_prompts=0.0)

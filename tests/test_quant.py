@@ -107,3 +107,18 @@ def test_int8_matmul_kernel_interpret():
         "...i,io->...o", x.astype(jnp.bfloat16), w8.astype(jnp.bfloat16)
     ).astype(jnp.float32) * scale
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+
+
+def test_quantized_tree_shards_over_mesh():
+    """shard_params on an int8-quantized tree must SPLIT w_int8 leaves
+    (previously they fell through to replicated, silently losing tp/fsdp)."""
+    from visualcloze_tpu.parallel import create_mesh, shard_params
+
+    params = quantize_flux_int8(init_flux(jax.random.PRNGKey(0), CFG))
+    mesh = create_mesh(fsdp=2, tp=2)
+    sharded = shard_params(params, mesh)
+    qkv = sharded["double_blocks"]["img_attn"]["qkv"]
+    shard = qkv["w_int8"].sharding.shard_shape(qkv["w_int8"].shape)
+    assert shard != qkv["w_int8"].shape  # actually split, not replicated
+    scale_shard = qkv["w_scale"].sharding.shard_shape(qkv["w_scale"].shape)
+    assert scale_shard[-1] == qkv["w_scale"].shape[-1] // 2  # tp on out-dim

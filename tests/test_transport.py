@@ -276,3 +276,45 @@ def test_dopri5_fails_loud_on_budget_exhaustion():
 
     out2 = np.asarray(denoise_ode_adaptive(nan_model, x0, 1.0, 0.0, {}, max_steps=8))
     assert np.isnan(out2).all()
+
+
+def test_sde_sbdm_default_grid_is_finite():
+    """The score-based diffusion form diverges at the noise endpoint; the
+    sampler must clip the grid start (ref check_interval) so default SBDM
+    sampling stays finite."""
+    import jax
+    import jax.numpy as jnp
+
+    from visualcloze_tpu.transport import create_transport
+    from visualcloze_tpu.transport.sampling import Sampler
+
+    def model_fn(x, timesteps, **_):
+        return -x
+
+    transport = create_transport("Linear", "velocity")
+    fn = Sampler(transport).sample_sde(num_steps=8)  # default SBDM
+    x0 = jnp.ones((1, 8, 4), jnp.float32)
+    out = np.asarray(fn(x0, model_fn, {}, jax.random.PRNGKey(0)))
+    assert np.isfinite(out).all()
+
+
+def test_sde_last_step_none_covers_full_grid():
+    """last_step=None must integrate the final interval stochastically, not
+    drop it (v=-1, zero diffusion: x goes 1 -> 2 over the full grid)."""
+    import jax
+    import jax.numpy as jnp
+
+    from visualcloze_tpu.transport import create_transport
+    from visualcloze_tpu.transport.sampling import denoise_sde
+
+    def model_fn(x, timesteps, **_):
+        return -jnp.ones_like(x)
+
+    transport = create_transport("Linear", "velocity")
+    ts = jnp.linspace(1.0, 0.0, 8)
+    x0 = jnp.ones((1, 4, 2), jnp.float32)
+    out = denoise_sde(
+        transport, model_fn, jax.random.PRNGKey(0), x0, ts, {},
+        diffusion_form="constant", diffusion_norm=0.0, last_step=None,
+    )
+    np.testing.assert_allclose(np.asarray(out), 2.0, rtol=1e-5)

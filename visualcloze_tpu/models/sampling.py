@@ -93,6 +93,17 @@ def prepare_modified(
     if isinstance(prompt, str):
         prompt = [prompt]
     prompt = list(prompt)
+    if len(prompt) != bs:
+        # keep image- and text-side batch dims consistent (the reference
+        # repeats tensors to the prompt batch; models/sampling.py:42-70)
+        if bs == 1:
+            img_tok = jnp.broadcast_to(img_tok, (len(prompt),) + img_tok.shape[1:])
+            img_ids = jnp.broadcast_to(img_ids, (len(prompt),) + img_ids.shape[1:])
+            img_mask = jnp.broadcast_to(jnp.asarray(img_mask), (len(prompt), img_mask.shape[1]))
+        else:
+            raise ValueError(
+                f"batch mismatch: {bs} image sample(s) vs {len(prompt)} prompt(s)"
+            )
     bs = len(prompt)
     rng = rng or np.random.default_rng()
     drop_mask = []

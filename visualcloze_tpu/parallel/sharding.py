@@ -76,7 +76,7 @@ def flux_param_spec(key_path, leaf, mesh: Mesh) -> P:
     fsdp = "fsdp" if mesh.shape["fsdp"] > 1 else None
     tp = "tp" if mesh.shape["tp"] > 1 else None
 
-    if leaf_name == "w":
+    if leaf_name in ("w", "w_int8"):  # int8-quantized weights shard like w
         in_dim, out_dim = shape[-2], shape[-1]
         spec: list = [None] * len(shape)
         if kind == "column":
@@ -97,7 +97,7 @@ def flux_param_spec(key_path, leaf, mesh: Mesh) -> P:
                 spec[-1] = fsdp
         return P(*spec)
 
-    if leaf_name in ("b", "b_bias"):
+    if leaf_name in ("b", "b_bias", "w_scale"):  # per-out-channel vectors
         spec = [None] * len(shape)
         if kind == "column" and tp and _divisible(shape[-1], mesh, "tp"):
             spec[-1] = tp

@@ -123,7 +123,9 @@ def preprocess_grid(
                 else:
                     raise ValueError("Please provide each image in the in-context example.")
 
-    # multi-mask width normalization (ref visualcloze.py:350-360)
+    # multi-mask width normalization (ref visualcloze.py:350-360; the 384
+    # fallback is the reference's literal constant, not this pipeline's
+    # resolution setting — kept for pixel-exact parity)
     if len(mask_position) > 1 and sum(mask_position) > 1:
         new_w = 384 if target_size is None else target_size[0]
         for i in range(len(processed)):

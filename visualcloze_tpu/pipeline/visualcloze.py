@@ -110,11 +110,17 @@ class VisualClozeModel:
         self.grid_w = w
 
     def warmup(self, grid_shapes: list[tuple[int, int]], steps: int = 30,
-               upsampling_steps: int = 10, upsampling_noise: float = 0.4) -> None:
+               upsampling_steps: int = 10, upsampling_noise: float = 0.4,
+               upsampling_sizes: list[tuple[int, int]] | None = None) -> None:
         """Pre-compile the denoise/encode/decode programs for the given
         (grid_h, grid_w) shapes plus the SDEdit stage (different seq len and
         step count — SURVEY.md §7 'SDEdit recompilation'). Serving setups call
-        this once so first-request latency is steady-state."""
+        this once so first-request latency is steady-state.
+
+        upsampling_sizes: extra (W, H) targets to pre-compile the SDEdit
+        stage for — the in-grid pass only covers targets at `resolution`
+        (the stage-2 sequence length follows the QUERY image's native size,
+        so e.g. 1024x768 requests hit a different bucket)."""
         for gh, gw in grid_shapes:
             self.set_grid_size(gh, gw)
             blank = Image.new("RGB", (self.resolution, self.resolution), (0, 0, 0))
@@ -124,6 +130,13 @@ class VisualClozeModel:
                 grid, ["warmup", "", ""], seed=1, steps=steps,
                 upsampling_steps=upsampling_steps, upsampling_noise=upsampling_noise,
                 is_upsampling=True,
+            )
+        for w, h in upsampling_sizes or []:
+            self.upsampling(
+                Image.new("RGB", (w, h), (0, 0, 0)), (w, h), cfg=30.0,
+                upsampling_steps=upsampling_steps,
+                upsampling_noise=upsampling_noise,
+                key=jax.random.PRNGKey(0), content_prompt="warmup",
             )
 
     def encode_row(self, row_img: np.ndarray, key: jax.Array) -> jnp.ndarray:
@@ -300,6 +313,10 @@ class VisualClozeModel:
                 time_shifting_factor=1.0,
             )
         )
+        # bucketing may have padded the single image's sequence: pass the
+        # masks whenever padding exists (pad tokens must not attend — same
+        # contract as process_images)
+        full = bool(np.asarray(inp["img_mask"]).all())
         samples = self._denoise_jit(
             self.params,
             x.astype(jnp.bfloat16),
@@ -307,10 +324,10 @@ class VisualClozeModel:
             img_cond,
             inp["txt"].astype(jnp.bfloat16),
             inp["txt_ids"],
-            None,  # single image: never padded
+            None if full else inp["txt_mask"],
             inp["vec"].astype(jnp.bfloat16),
             inp["img_ids"],
-            None,
+            None if full else inp["img_mask"],
             jnp.full((1,), cfg, jnp.bfloat16),
             method=self.solver,
         )

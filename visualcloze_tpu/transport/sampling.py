@@ -206,6 +206,10 @@ def denoise_sde(
         v, score, w = drift_terms(x32.astype(x.dtype), t)
         return v - w * score, w
 
+    def diffusion_w(x32, t):
+        t_vec = jnp.full((b,), t, dtype=jnp.float32)
+        return plan.compute_diffusion(x32, 1.0 - t_vec, form=diffusion_form, norm=diffusion_norm)
+
     if method == "Euler":
         def step(x, inputs):
             pair, k = inputs
@@ -217,14 +221,16 @@ def denoise_sde(
             x32 = x32 + drift * ds + jnp.sqrt(2 * w * jnp.abs(ds)) * noise
             return x32.astype(x.dtype), None
     elif method == "Heun":
-        # ref integrators.py:40-55: noise first, then a 2-stage drift average
+        # ref integrators.py:40-55: noise first, then a 2-stage drift average.
+        # w0 is model-independent (plan diffusion coefficient) — computing it
+        # via sde_drift would burn a whole extra model forward per step.
         def step(x, inputs):
             pair, k = inputs
             t_cur, t_next = pair[0], pair[1]
             ds = t_next - t_cur
             x32 = x.astype(jnp.float32)
             noise = jax.random.normal(k, x.shape, dtype=jnp.float32)
-            _, w0 = sde_drift(x32, t_cur)
+            w0 = diffusion_w(x32, t_cur)
             xhat = x32 + jnp.sqrt(2 * w0 * jnp.abs(ds)) * noise
             k1, _ = sde_drift(xhat, t_cur)
             xp = xhat + ds * k1
@@ -233,6 +239,11 @@ def denoise_sde(
             return x32.astype(x.dtype), None
     else:
         raise NotImplementedError(f"SDE method {method!r}")
+
+    if last_step is None:
+        # no deterministic tail: the stochastic loop covers the full grid
+        x, _ = jax.lax.scan(step, x, (pairs, keys))
+        return x
 
     x, _ = jax.lax.scan(step, x, (pairs[:-1], keys[:-1]))
     # deterministic last step (ref transport.py:276-300): Mean = drift-only
@@ -243,7 +254,7 @@ def denoise_sde(
     elif last_step == "Euler":
         v = velocity(x, t_cur).astype(jnp.float32)
         x = (x.astype(jnp.float32) + v * (t_next - t_cur)).astype(x.dtype)
-    elif last_step is not None:
+    else:
         raise NotImplementedError(f"last_step {last_step!r}")
     return x
 
@@ -363,7 +374,14 @@ class Sampler:
         def sample_fn(x, model_fn, model_kwargs, key):
             kwargs = dict(model_kwargs)
             cond = kwargs.pop("cond", None)
-            ts = jnp.asarray(np.linspace(1.0, 0.0, num_steps, dtype=np.float32))
+            # score-based diffusion forms diverge at the noise endpoint
+            # (ICPlan's d_alpha/alpha ratio is 1/t -> inf at data-time 0 ==
+            # flux t=1): clip the start like the reference's check_interval
+            # (transport.py:302-330 sample_eps)
+            eps = self.transport.sample_eps or (
+                1e-3 if diffusion_form != "constant" else 0.0
+            )
+            ts = jnp.asarray(np.linspace(1.0 - eps, 0.0, num_steps, dtype=np.float32))
             return denoise_sde(
                 self.transport, model_fn, key, x, ts, kwargs, cond=cond,
                 diffusion_form=diffusion_form, diffusion_norm=diffusion_norm,
