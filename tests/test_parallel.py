@@ -125,3 +125,36 @@ def test_multichip_pipeline_inference():
     a = np.asarray(out[0], np.float32)
     b = np.asarray(ref[0], np.float32)
     assert np.abs(a - b).mean() < 2.0  # identical up to accumulation-order noise
+
+
+def test_pipeline_int8_sharded_over_mesh():
+    """int8-quantized DiT sharded over (fsdp, tp): process_images runs and
+    stays close to the unquantized unsharded pipeline (weight-only int8)."""
+    from PIL import Image
+
+    from visualcloze_tpu.models.quant import quantize_flux_int8
+    from visualcloze_tpu.parallel import shard_params
+    from visualcloze_tpu.pipeline import random_components
+
+    mesh = create_mesh(fsdp=2, tp=2)
+    model = random_components(jax.random.PRNGKey(0), tiny=True, resolution=64, attn_impl="xla")
+    ref_params = model.params
+    model.params = shard_params(quantize_flux_int8(ref_params), mesh)
+    qkv = model.params["double_blocks"]["img_attn"]["qkv"]
+    assert qkv["w_int8"].sharding.shard_shape(qkv["w_int8"].shape) != qkv["w_int8"].shape
+
+    model.set_grid_size(1, 2)
+    img = Image.new("RGB", (64, 64), (40, 160, 220))
+    out = model.process_images(
+        [[img, None]], ["layout", "task", "content"], seed=3, steps=2, is_upsampling=False
+    )
+    assert len(out) == 1
+
+    model_ref = random_components(jax.random.PRNGKey(0), tiny=True, resolution=64, attn_impl="xla")
+    model_ref.set_grid_size(1, 2)
+    ref = model_ref.process_images(
+        [[img, None]], ["layout", "task", "content"], seed=3, steps=2, is_upsampling=False
+    )
+    a = np.asarray(out[0], np.float32)
+    b = np.asarray(ref[0], np.float32)
+    assert np.abs(a - b).mean() < 8.0  # int8 weight quantization noise bound
