@@ -39,6 +39,7 @@ def parse_args(argv=None):
     p.add_argument("--upsampling_steps", type=int, default=10)
     p.add_argument("--upsampling_noise", type=float, default=0.4)
     p.add_argument("--no_upsampling", action="store_true")
+    p.add_argument("--solver", default="euler", choices=["euler", "heun", "dopri5"])
     p.add_argument("-o", "--output", default="example.jpg")
     p.add_argument("--demo", action="store_true", help="tiny random model, no checkpoints")
     return p.parse_args(argv)
@@ -53,6 +54,7 @@ def main(argv=None):
         from visualcloze_tpu.pipeline import random_components
 
         model = random_components(jax.random.PRNGKey(0), tiny=True, resolution=64)
+        model.solver = args.solver
         if not args.rows:
             blank = Image.new("RGB", (64, 64), (120, 180, 90))
             tmp = "/tmp/_vc_demo.png"
@@ -62,6 +64,7 @@ def main(argv=None):
         from visualcloze_tpu.pipeline import build_visualcloze
 
         model = build_visualcloze(
+            solver=args.solver,
             model_path=args.model_path,
             model_name=args.model_name,
             lora_rank=args.lora_rank,

@@ -352,7 +352,8 @@ def _denoise(
     attn_impl: str = "auto",
     rope_layout: str = "interleaved",
 ) -> jnp.ndarray:
-    """The compiled hot loop: scan of Euler steps over the full DiT."""
+    """The compiled hot loop: scan of Euler/Heun steps (or the adaptive
+    dopri5 while_loop) over the full DiT."""
 
     def model_fn(img, timesteps, **_):
         return flux_apply(
@@ -362,4 +363,8 @@ def _denoise(
             guidance=guidance, attn_impl=attn_impl, rope_layout=rope_layout,
         )
 
+    if method == "dopri5":
+        from ..transport.sampling import denoise_ode_adaptive
+
+        return denoise_ode_adaptive(model_fn, x, ts[0], ts[-1], {}, cond=cond)
     return denoise_ode(model_fn, x, ts, {}, cond=cond, method=method)

@@ -118,14 +118,16 @@ def denoise_ode_adaptive(
         inp = jnp.concatenate([xi, cond.astype(x.dtype)], axis=-1) if cond is not None else xi
         return model_fn(inp, timesteps=t_vec, **model_kwargs).astype(jnp.float32)
 
-    direction = -1.0 if t_end < t_start else 1.0
-    span = abs(t_end - t_start)
+    t_start = jnp.float32(t_start)
+    t_end = jnp.float32(t_end)
+    direction = jnp.where(t_end < t_start, -1.0, 1.0)  # traced-endpoint safe
+    span = jnp.abs(t_end - t_start)
     x0 = x.astype(jnp.float32)
     state = (
         x0,
-        jnp.float32(t_start),
+        t_start,
         jnp.float32(direction * span / 16.0),  # initial trial step
-        f(x0, jnp.float32(t_start)),           # FSAL k1
+        f(x0, t_start),                        # FSAL k1
         jnp.int32(0),
     )
 
