@@ -134,3 +134,23 @@ def test_ring_attention_backward_matches_full():
     g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(g_ring, g_full):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-4)
+
+
+def test_ring_attention_batch_sharded_over_dp():
+    """With dp in the mesh, the batch dim is sharded in the shard_map specs
+    (not silently replicated/all-gathered) and results still match."""
+    mesh = create_mesh(dp=2, cp=4)
+    rng = np.random.default_rng(6)
+    b, h, L, d = 4, 2, 32, 8
+    q = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+    mask = np.ones((b, L), np.int32)
+    mask[0, 24:] = 0
+    bias = mask_to_bias(jnp.asarray(mask))
+    want = mha_xla(q, k, v, bias)
+    got = ring_attention(q, k, v, bias, mesh, axis="cp", impl="xla")
+    valid = mask[:, None, :, None]
+    np.testing.assert_allclose(
+        np.asarray(got) * valid, np.asarray(want) * valid, rtol=2e-4, atol=2e-5
+    )

@@ -58,14 +58,17 @@ def test_siglip_vision_matches_transformers():
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
 
 
-def test_depth_anything_matches_transformers():
+def _make_hf_depth_anything(cfg, seed=0, energize=True):
+    """transformers tiny DepthAnything. energize=True rescales the random
+    init (unit layer scales, wider convs) so activations — and the ReLU'd
+    predicted depth — are non-trivial; without it the random model outputs
+    ~1e-8 and an activation-diff oracle is vacuous."""
     from transformers import (
         DepthAnythingConfig,
         DepthAnythingForDepthEstimation,
         Dinov2Config,
     )
 
-    cfg = DepthAnythingTowerConfig().tiny()
     bb = Dinov2Config(
         hidden_size=cfg.hidden_size, num_hidden_layers=cfg.num_layers,
         num_attention_heads=cfg.num_heads, intermediate_size=cfg.intermediate_size,
@@ -80,8 +83,21 @@ def test_depth_anything_matches_transformers():
         head_hidden_size=cfg.head_hidden_size,
         reassemble_hidden_size=cfg.hidden_size, patch_size=cfg.patch_size,
     )
-    torch.manual_seed(0)
+    torch.manual_seed(seed)
     model = DepthAnythingForDepthEstimation(hf_cfg).eval()
+    if energize:
+        with torch.no_grad():
+            for name, p in model.named_parameters():
+                if "lambda1" in name:
+                    p.fill_(1.0)
+                elif ("neck" in name or "head" in name) and p.dim() >= 2:
+                    p.mul_(12.0)
+    return model
+
+
+def test_depth_anything_matches_transformers():
+    cfg = DepthAnythingTowerConfig().tiny()
+    model = _make_hf_depth_anything(cfg)
     params = convert_depth_anything(_state(model), cfg)
 
     rng = np.random.default_rng(2)
@@ -90,9 +106,25 @@ def test_depth_anything_matches_transformers():
         want = model(
             pixel_values=torch.from_numpy(x.transpose(0, 3, 1, 2))
         ).predicted_depth.numpy()
+    assert np.abs(want).mean() > 1e-2  # oracle must be non-vacuous
     got = np.asarray(depth_anything_apply(cfg, params, jnp.asarray(x)))
     assert got.shape == want.shape
-    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3 * float(np.abs(want).max()))
+
+
+def test_depth_anything_preprocess_matches_dpt_processor():
+    """keep_aspect_ratio semantics: the per-axis scale closest to 1 wins
+    (HF DPTImageProcessor); small images must NOT be blown up 4x."""
+    from PIL import Image
+
+    from visualcloze_tpu.models.vision_towers import depth_anything_preprocess
+
+    small = Image.new("RGB", (200, 100))  # (w, h)
+    out = depth_anything_preprocess(small, target=518, multiple=14)
+    assert out.shape[1:3] == (252, 518)  # scale 2.59 (=518/200), not 5.18
+    big = Image.new("RGB", (1036, 1036))
+    out2 = depth_anything_preprocess(big, target=518, multiple=14)
+    assert out2.shape[1:3] == (518, 518)
 
 
 def test_depth_anything_pos_embed_interpolation_runs():

@@ -273,7 +273,12 @@ def depth_anything_apply(cfg: DepthAnythingTowerConfig, params: Params, pixels: 
         if factor > 1:
             x = _conv_transpose(params["reassemble"][i]["resize"], x, int(factor))
         elif factor < 1:
-            x = _conv(params["reassemble"][i]["resize"], x, stride=int(round(1 / factor)))
+            # torch Conv2d(k=3, stride=2, padding=1) pads (1,1); XLA "SAME"
+            # at stride 2 on even inputs would pad (0,1) and misalign
+            x = _conv(
+                params["reassemble"][i]["resize"], x,
+                stride=int(round(1 / factor)), padding=((1, 1), (1, 1)),
+            )
         stages.append(_conv(params["neck_convs"][i], x))
 
     # top-down fusion, deepest first
@@ -320,8 +325,12 @@ def convert_depth_anything(state: dict[str, np.ndarray], cfg: DepthAnythingTower
         return p
 
     def conv_t(key):
-        # torch ConvTranspose2d weight is (in, out, kh, kw) -> HWIO (kh, kw, in, out)
-        return {"w": w(f"{key}.weight").transpose(2, 3, 0, 1), "b": w(f"{key}.bias")}
+        # torch ConvTranspose2d weight is (in, out, kh, kw). jax.lax.
+        # conv_transpose (transpose_kernel=False) is a fractionally-strided
+        # FORWARD conv, so torch's kernel must be spatially flipped to match
+        # torch's true transposed convolution.
+        wt = w(f"{key}.weight")[:, :, ::-1, ::-1]
+        return {"w": wt.transpose(2, 3, 0, 1).copy(), "b": w(f"{key}.bias")}
 
     blocks = []
     for i in range(cfg.num_layers):
@@ -486,11 +495,13 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 def depth_anything_preprocess(img, target: int = 518, multiple: int = 14) -> jnp.ndarray:
     """PIL image -> (1, H', W', 3) ImageNet-normalized pixels with both dims
-    multiples of `multiple` near `target` (DPTImageProcessor semantics)."""
+    multiples of `multiple` (DPTImageProcessor keep_aspect_ratio semantics:
+    of the two per-axis scales to `target`, pick the one CLOSEST to 1)."""
     from PIL import Image
 
     w, h = img.size
-    scale = target / min(h, w)
+    scale_h, scale_w = target / h, target / w
+    scale = scale_w if abs(1 - scale_w) < abs(1 - scale_h) else scale_h
     nh = max(multiple, int(round(h * scale / multiple)) * multiple)
     nw = max(multiple, int(round(w * scale / multiple)) * multiple)
     img = img.convert("RGB").resize((nw, nh), Image.BICUBIC)

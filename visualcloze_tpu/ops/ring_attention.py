@@ -26,8 +26,11 @@ def _chunk_attention_lse(q, k, v, bias, impl: str):
     if impl == "pallas":
         from .flash_attention import _flash_fwd_lse
 
+        lq = q.shape[2]
         o, lse4, _ = _flash_fwd_lse(q, k, v, bias)
-        return o, lse4[..., 0]
+        # the kernel pads sequence dims to 128-multiples; slice back so the
+        # shard_map output shape matches the local shard
+        return o[:, :, :lq], lse4[:, :, :lq, 0]
     d = q.shape[-1]
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
@@ -92,17 +95,22 @@ def ring_attention(
 
     Returns (B, H, L, D), identical to full attention.
     """
+    # shard the batch dim over any data axes present in the mesh: leaving it
+    # unmentioned would replicate the whole (dp, fsdp)-sharded batch onto
+    # every device (full all-gather per attention call in the trainer)
+    data_axes = tuple(a for a in ("dp", "fsdp") if a in mesh.axis_names and mesh.shape[a] > 1)
+    b_spec = data_axes if data_axes else None
     in_specs = (
-        P(None, None, axis, None),
-        P(None, None, axis, None),
-        P(None, None, axis, None),
+        P(b_spec, None, axis, None),
+        P(b_spec, None, axis, None),
+        P(b_spec, None, axis, None),
     )
-    out_spec = P(None, None, axis, None)
+    out_spec = P(b_spec, None, axis, None)
     if bias is not None:
         fn = jax.shard_map(
             functools.partial(_ring_body, axis=axis, impl=impl),
             mesh=mesh,
-            in_specs=in_specs + (P(None, axis),),
+            in_specs=in_specs + (P(b_spec, axis),),
             out_specs=out_spec,
             check_vma=False,
         )

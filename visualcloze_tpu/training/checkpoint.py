@@ -100,13 +100,14 @@ def restore_into(state: TrainState, restored: dict) -> TrainState:
     import jax.numpy as jnp
 
     def place(template_leaf, restored_leaf):
-        x = jnp.asarray(restored_leaf)
         sharding = getattr(template_leaf, "sharding", None)
         # only re-commit mesh-sharded leaves; single-device leaves stay
-        # uncommitted so jit remains free to co-locate them
+        # uncommitted so jit remains free to co-locate them. device_put goes
+        # straight from the HOST array so no device ever holds the full
+        # unsharded leaf (a 12B fp32 qkv stack alone is ~2 GB).
         if isinstance(sharding, jax.sharding.NamedSharding):
-            return jax.device_put(x, sharding)
-        return x
+            return jax.device_put(np.asarray(restored_leaf), sharding)
+        return jnp.asarray(restored_leaf)
 
     def place_tree(template, tree):
         if tree is None:

@@ -230,6 +230,12 @@ def main(argv=None) -> None:
         )
     accum = args.global_bsz // global_micro
     local_bsz = args.global_bsz // world  # samples this host loads per step
+    if local_bsz % accum != 0:
+        raise SystemExit(
+            f"host count {world} must divide the global micro batch "
+            f"{global_micro} (per-host {local_bsz} samples cannot split into "
+            f"{accum} accumulation slices)"
+        )
     sampler = get_train_sampler(
         len(dataset), process_index, world, args.global_bsz,
         args.max_steps, resume_step, args.global_seed,
