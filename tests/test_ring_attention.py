@@ -136,6 +136,77 @@ def test_ring_attention_backward_matches_full():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-4)
 
 
+def test_ring_attention_backward_with_bias_matches_full():
+    """Fused ring backward (custom VJP second ring pass) with a padding bias."""
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]).reshape(4), ("cp",))
+    rng = np.random.default_rng(7)
+    b, h, L, d = 2, 2, 32, 8
+    q = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+    mask = np.ones((b, L), np.int32)
+    mask[0, 20:] = 0
+    bias = mask_to_bias(jnp.asarray(mask))
+    mq = jnp.asarray(mask)[:, None, :, None].astype(jnp.float32)
+
+    def loss_full(q, k, v):
+        return jnp.sum((mha_xla(q, k, v, bias) * mq) ** 2)
+
+    def loss_ring(q, k, v):
+        return jnp.sum((ring_attention(q, k, v, bias, mesh, axis="cp", impl="xla") * mq) ** 2)
+
+    g_full = jax.grad(loss_full, argnums=(0, 1, 2))(q, k, v)
+    g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_ring, g_full):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-4)
+
+
+def test_ring_attention_pallas_chunks_fwd_bwd_interpret():
+    """chunk_impl='pallas' is trainable: the fused ring backward drives the
+    Pallas chunk kernels (interpret mode on CPU) and matches full attention."""
+    import unittest.mock as um
+
+    from visualcloze_tpu.ops import flash_attention as fa
+
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:2]).reshape(2), ("cp",))
+    rng = np.random.default_rng(8)
+    b, h, L, d = 1, 2, 256, 32  # 128-multiple chunks (TPU lane width)
+    q = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+    mask = np.ones((b, L), np.int32)
+    mask[0, 200:] = 0
+    bias = mask_to_bias(jnp.asarray(mask))
+    mq = jnp.asarray(mask)[:, None, :, None].astype(jnp.float32)
+
+    orig = fa.pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        kwargs.pop("compiler_params", None)
+        return orig(*args, **kwargs)
+
+    def loss_full(q, k, v):
+        return jnp.sum((mha_xla(q, k, v, bias) * mq) ** 2)
+
+    def loss_ring(q, k, v):
+        return jnp.sum(
+            (ring_attention(q, k, v, bias, mesh, axis="cp", impl="pallas") * mq) ** 2
+        )
+
+    with um.patch.object(fa.pl, "pallas_call", interp_call):
+        out_ring = ring_attention(q, k, v, bias, mesh, axis="cp", impl="pallas")
+        g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    out_full = mha_xla(q, k, v, bias)
+    g_full = jax.grad(loss_full, argnums=(0, 1, 2))(q, k, v)
+    valid = mask[:, None, :, None]
+    np.testing.assert_allclose(
+        np.asarray(out_ring) * valid, np.asarray(out_full) * valid, rtol=2e-4, atol=2e-4
+    )
+    for a, b_ in zip(g_ring, g_full):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-3, atol=2e-3)
+
+
 def test_ring_attention_batch_sharded_over_dp():
     """With dp in the mesh, the batch dim is sharded in the shard_map specs
     (not silently replicated/all-gathered) and results still match."""

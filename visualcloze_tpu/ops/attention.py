@@ -37,12 +37,14 @@ class RingSpec:
     attention (ops/ring_attention.py) — the cp integration the reference left
     as a TODO (SURVEY §5.7).
 
-    chunk_impl: per-chunk kernel — "pallas" (TPU serving) or "xla"
-    (differentiable; use for training until the ring bwd is fused)."""
+    chunk_impl: per-chunk kernel — "pallas" (TPU), "xla" (CPU oracle), or
+    "auto". Both are trainable: the ring has a fused custom-VJP backward
+    (second ring pass, ops/ring_attention.py) that drives the chunk kernels
+    directly instead of autodiffing through the forward scan."""
 
     mesh: object  # jax.sharding.Mesh (kept untyped for cheap import)
     axis: str = "cp"
-    chunk_impl: str = "xla"
+    chunk_impl: str = "auto"
 
 
 def _on_tpu() -> bool:

@@ -368,14 +368,16 @@ def _flash_mha_fwd(q, k, v, bias):
     return out, (qp, kp, vp, biasp, o, lse, lq_pad, lk_pad, bias is not None)
 
 
-def _flash_mha_bwd(res, g):
-    q, k, v, bias, o, lse, lq_pad, lk_pad, had_bias = res
+def _pallas_bwd_padded(q, k, v, bias, do, lse, delta):
+    """Fused backward on already-padded operands.
+
+    q, do: (B, H, Lq_p, D); k, v: (B, H, Lk_p, D) — both seq dims multiples of
+    128. bias: (B, 1, Lk_p) in log2 units or None. lse, delta: (B, H, Lq_p, 128)
+    lane-broadcast fp32 (lse in log2 units). Returns padded (dq, dk, dv).
+    Shared by the full flash_mha VJP and the ring-attention chunk backward.
+    """
     b, h, lq_p, d = q.shape
     lk_p = k.shape[2]
-    do = jnp.pad(g, ((0, 0), (0, 0), (0, lq_pad), (0, 0))) if lq_pad else g
-    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True)
-    delta = jnp.broadcast_to(delta, (*delta.shape[:3], 128))  # lane-broadcast (B,H,Lq,128)
-
     bq = _pick_block(lq_p, DEFAULT_BLOCK_Q_BWD)
     bk = _pick_block(lk_p, DEFAULT_BLOCK_K)
     with_bias = bias is not None
@@ -434,6 +436,18 @@ def _flash_mha_bwd(res, g):
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
     )(*operands)
+    return dq, dk, dv
+
+
+def _flash_mha_bwd(res, g):
+    q, k, v, bias, o, lse, lq_pad, lk_pad, had_bias = res
+    lq_p = q.shape[2]
+    lk_p = k.shape[2]
+    do = jnp.pad(g, ((0, 0), (0, 0), (0, lq_pad), (0, 0))) if lq_pad else g
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True)
+    delta = jnp.broadcast_to(delta, (*delta.shape[:3], 128))  # lane-broadcast (B,H,Lq,128)
+
+    dq, dk, dv = _pallas_bwd_padded(q, k, v, bias, do, lse, delta)
 
     lq = lq_p - lq_pad
     lk = lk_p - lk_pad
@@ -444,3 +458,29 @@ def _flash_mha_bwd(res, g):
 
 
 flash_mha.defvjp(_flash_mha_fwd, _flash_mha_bwd)
+
+
+def chunk_bwd_pallas(q, k, v, bias, do, lse, delta):
+    """Ring-attention chunk backward via the fused Pallas kernels.
+
+    Unpadded operands: q, do (B, H, Lq, D); k, v (B, H, Lk, D); bias (B, Lk)
+    additive fp32 (natural units) or None; lse (B, H, Lq) GLOBAL log-sum-exp
+    in log2 units; delta (B, H, Lq) fp32 rowsum(do*o_final). Returns
+    (dq, dk, dv) partial gradients for this (q-shard, kv-chunk) pair.
+    """
+    lq = q.shape[2]
+    lk = k.shape[2]
+    qp, kp, vp, biasp, lq_pad, lk_pad = _pad_qkv(q, k, v, bias)
+    if lq_pad:
+        do = jnp.pad(do, ((0, 0), (0, 0), (0, lq_pad), (0, 0)))
+        # padded q rows: do = 0 and (with zero q) s - lse = 0 -> p finite, dl = 0
+        lse = jnp.pad(lse, ((0, 0), (0, 0), (0, lq_pad)))
+        delta = jnp.pad(delta, ((0, 0), (0, 0), (0, lq_pad)))
+    lse_l = jnp.broadcast_to(lse.astype(jnp.float32)[..., None], (*lse.shape, 128))
+    delta_l = jnp.broadcast_to(delta.astype(jnp.float32)[..., None], (*delta.shape, 128))
+    dq, dk, dv = _pallas_bwd_padded(qp, kp, vp, biasp, do, lse_l, delta_l)
+    if lq_pad:
+        dq = dq[:, :, :lq]
+    if lk_pad:
+        dk, dv = dk[:, :, :lk], dv[:, :, :lk]
+    return dq, dk, dv

@@ -175,9 +175,10 @@ def main(argv=None) -> None:
     if args.cp > 1:
         from ..ops.attention import RingSpec
 
-        # ring attention over the cp axis; xla chunks are the differentiable
-        # path (ops/attention.RingSpec)
-        attn_impl = RingSpec(mesh=mesh, axis="cp", chunk_impl="xla")
+        # ring attention over the cp axis; "auto" picks the fused Pallas
+        # chunk kernels on TPU, xla elsewhere — both trainable through the
+        # fused ring backward (ops/ring_attention.py)
+        attn_impl = RingSpec(mesh=mesh, axis="cp", chunk_impl="auto")
     train_step = jax.jit(
         make_train_step(
             flux_cfg, transport, optimizer, args.training_type,
