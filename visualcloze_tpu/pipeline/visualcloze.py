@@ -159,12 +159,41 @@ class VisualClozeModel:
         upsampling_noise: float = 0.4,
         is_upsampling: bool = True,
     ) -> list[Image.Image]:
-        """Generate the masked query cells (ref visualcloze.py:247-467)."""
+        """Generate the masked query cells (ref visualcloze.py:247-467).
+
+        Composition of the three serving stages (prepare -> denoise ->
+        finalize); pipeline.orchestrator runs the same stages on two chips
+        with cross-query overlap.
+        """
+        q = self.prepare_query(images, prompts, seed=seed, cfg=cfg, steps=steps)
+        samples = self.denoise_query(q)
+        return self.finalize_query(
+            q, samples,
+            upsampling_steps=upsampling_steps,
+            upsampling_noise=upsampling_noise,
+            is_upsampling=is_upsampling,
+        )
+
+    # ----------------------- staged serving API -----------------------
+
+    def prepare_query(
+        self,
+        images: list[list[Image.Image | None]],
+        prompts: Sequence[str],
+        seed: int = 0,
+        cfg: float = 30.0,
+        steps: int = 30,
+        grid_size: tuple[int, int] | None = None,
+    ) -> dict[str, Any]:
+        """Stage E1 (encoder chip): preprocess + VAE encode + T5/CLIP +
+        packing. Returns everything the denoise stage needs plus the host
+        metadata the finalize stage needs. Thread-safe when `grid_size` is
+        passed explicitly (no dependence on set_grid_size state)."""
         if seed == 0:
             seed = int(np.random.randint(0, 2 ** 31 - 1))
         key = jax.random.PRNGKey(seed)
 
-        grid_h, grid_w = self.grid_h, self.grid_w
+        grid_h, grid_w = grid_size if grid_size is not None else (self.grid_h, self.grid_w)
         assert grid_h is not None and grid_w is not None, "call set_grid_size first"
 
         processed, mask_position, target_size, upsampling_size = pp.preprocess_grid(
@@ -209,25 +238,53 @@ class VisualClozeModel:
             )
         )
         full = bool(np.asarray(inp["img_mask"]).all())
-        samples = self._denoise_jit(
+        return {
+            # device arrays consumed by denoise_query
+            "x": inp["img"].astype(jnp.bfloat16),
+            "ts": ts,
+            "img_cond": img_cond,
+            "txt": inp["txt"].astype(jnp.bfloat16),
+            "txt_ids": inp["txt_ids"],
+            "txt_mask": None if full else inp["txt_mask"],
+            "vec": inp["vec"].astype(jnp.bfloat16),
+            "img_ids": inp["img_ids"],
+            "img_mask": None if full else inp["img_mask"],
+            "guidance": jnp.full((1,), cfg, jnp.bfloat16),
+            # host metadata consumed by finalize_query
+            "sizes": sizes,
+            "mask_position": mask_position,
+            "grid_w": grid_w,
+            "upsampling_size": upsampling_size,
+            "cfg": cfg,
+            "key": key,
+            "content_prompt": prompts[2] if len(prompts) > 2 else "",
+        }
+
+    def denoise_query(self, q: dict[str, Any]) -> jnp.ndarray:
+        """Stage D (DiT chip): the compiled 30-step rectified-flow loop."""
+        return self._denoise_jit(
             self.params,
-            inp["img"].astype(jnp.bfloat16),
-            ts,
-            img_cond,
-            inp["txt"].astype(jnp.bfloat16),
-            inp["txt_ids"],
-            None if full else inp["txt_mask"],
-            inp["vec"].astype(jnp.bfloat16),
-            inp["img_ids"],
-            None if full else inp["img_mask"],
-            jnp.full((1,), cfg, jnp.bfloat16),
+            q["x"], q["ts"], q["img_cond"], q["txt"], q["txt_ids"], q["txt_mask"],
+            q["vec"], q["img_ids"], q["img_mask"], q["guidance"],
             method=self.solver,
         )
+
+    def finalize_query(
+        self,
+        q: dict[str, Any],
+        samples: jnp.ndarray,
+        upsampling_steps: int = 10,
+        upsampling_noise: float = 0.4,
+        is_upsampling: bool = True,
+    ) -> list[Image.Image]:
+        """Stage E2 (encoder chip): per-row decode, query-cell crop, optional
+        SDEdit upsampling (which hops back to the DiT chip via upsampling)."""
+        key = q["key"]
 
         # split per row, decode (ref visualcloze.py:419-434)
         output_rows = []
         start = 0
-        for (h, w) in sizes:
+        for (h, w) in q["sizes"]:
             end = start + (h * w // 256)
             row_tok = samples[:, start:end]
             lat = unpatchify(row_tok, h // 8, w // 8)
@@ -238,19 +295,20 @@ class VisualClozeModel:
         ret: list[Image.Image] = []
         last = output_rows[-1]
         ret_w, ret_h = last.width, last.height
+        grid_w = q["grid_w"]
         for j in range(grid_w):
-            if not mask_position[j]:
+            if not q["mask_position"][j]:
                 continue
             cropped = last.crop((j * ret_w // grid_w, 0, (j + 1) * ret_w // grid_w, ret_h))
             if is_upsampling:
                 key, uk = jax.random.split(key)
                 ret.append(
                     self.upsampling(
-                        cropped, upsampling_size, cfg,
+                        cropped, q["upsampling_size"], q["cfg"],
                         upsampling_steps=upsampling_steps,
                         upsampling_noise=upsampling_noise,
                         key=uk,
-                        content_prompt=prompts[2],
+                        content_prompt=q["content_prompt"],
                     )
                 )
             else:
@@ -268,6 +326,30 @@ class VisualClozeModel:
         content_prompt: str,
     ) -> Image.Image:
         """SDEdit stage-2 refinement (ref visualcloze.py:147-245)."""
+        q = self.prepare_upsampling(
+            image, target_size, cfg,
+            upsampling_steps=upsampling_steps,
+            upsampling_noise=upsampling_noise,
+            key=key, content_prompt=content_prompt,
+        )
+        if isinstance(q, Image.Image):  # noise >= 1.0: plain resize
+            return q
+        samples = self.denoise_query(q)
+        return self.finalize_upsampling(q, samples)
+
+    def prepare_upsampling(
+        self,
+        image: Image.Image,
+        target_size: tuple[int, int] | None,
+        cfg: float,
+        upsampling_steps: int,
+        upsampling_noise: float,
+        key: jax.Array,
+        content_prompt: str,
+    ) -> dict[str, Any] | Image.Image:
+        """SDEdit stage E1: resize cap, re-encode, noise mix, packing.
+        Returns the resized image directly when upsampling_noise >= 1.0
+        (ref visualcloze.py:181-182)."""
         for c in CONTENT_INSTRUCTIONS:
             if content_prompt.startswith(c):
                 content_prompt = content_prompt.replace(c, "")
@@ -317,21 +399,25 @@ class VisualClozeModel:
         # masks whenever padding exists (pad tokens must not attend — same
         # contract as process_images)
         full = bool(np.asarray(inp["img_mask"]).all())
-        samples = self._denoise_jit(
-            self.params,
-            x.astype(jnp.bfloat16),
-            ts,
-            img_cond,
-            inp["txt"].astype(jnp.bfloat16),
-            inp["txt_ids"],
-            None if full else inp["txt_mask"],
-            inp["vec"].astype(jnp.bfloat16),
-            inp["img_ids"],
-            None if full else inp["img_mask"],
-            jnp.full((1,), cfg, jnp.bfloat16),
-            method=self.solver,
-        )
-        lat = unpatchify(samples[:, :true_len], h // 8, w // 8)
+        return {
+            "x": x.astype(jnp.bfloat16),
+            "ts": ts,
+            "img_cond": img_cond,
+            "txt": inp["txt"].astype(jnp.bfloat16),
+            "txt_ids": inp["txt_ids"],
+            "txt_mask": None if full else inp["txt_mask"],
+            "vec": inp["vec"].astype(jnp.bfloat16),
+            "img_ids": inp["img_ids"],
+            "img_mask": None if full else inp["img_mask"],
+            "guidance": jnp.full((1,), cfg, jnp.bfloat16),
+            "true_len": true_len,
+            "hw": (h, w),
+        }
+
+    def finalize_upsampling(self, q: dict[str, Any], samples: jnp.ndarray) -> Image.Image:
+        """SDEdit stage E2: unpatchify + decode."""
+        h, w = q["hw"]
+        lat = unpatchify(samples[:, : q["true_len"]], h // 8, w // 8)
         return pp.array_to_image(self.decode_latent(lat))
 
 
