@@ -158,3 +158,31 @@ def test_pipeline_int8_sharded_over_mesh():
     a = np.asarray(out[0], np.float32)
     b = np.asarray(ref[0], np.float32)
     assert np.abs(a - b).mean() < 8.0  # int8 weight quantization noise bound
+
+
+def test_initialize_distributed_multi_host_detection(monkeypatch):
+    """Single-host: no-op. Any multi-host signal (coordinator env, SLURM >1
+    node, TPU pod hostnames) routes to jax.distributed.initialize."""
+    from visualcloze_tpu.parallel import initialize_distributed
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize", lambda *a, **k: calls.append(1))
+    for var in ("JAX_COORDINATOR_ADDRESS", "SLURM_JOB_NUM_NODES",
+                "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES"):
+        monkeypatch.delenv(var, raising=False)
+
+    initialize_distributed()
+    assert not calls
+
+    monkeypatch.setenv("SLURM_JOB_NUM_NODES", "1")
+    initialize_distributed()
+    assert not calls
+
+    monkeypatch.setenv("SLURM_JOB_NUM_NODES", "4")
+    initialize_distributed()
+    assert len(calls) == 1
+
+    monkeypatch.setenv("SLURM_JOB_NUM_NODES", "1")
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1")
+    initialize_distributed()
+    assert len(calls) == 2

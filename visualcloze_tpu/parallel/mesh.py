@@ -50,11 +50,25 @@ def auto_mesh(n_devices: int | None = None, mode: str = "inference") -> Mesh:
 
 
 def initialize_distributed() -> None:
-    """Multi-host bootstrap (replaces torch.distributed NCCL init,
-    util/parallel.py:13-48). No-op on single-host."""
+    """Multi-host bootstrap (replaces torch.distributed NCCL init + SLURM
+    rendezvous, util/parallel.py:13-48). No-op on single-host.
+
+    Triggers jax.distributed.initialize() — which auto-detects coordinator /
+    rank from its cluster plugins — when any multi-host signal is present:
+      - JAX_COORDINATOR_ADDRESS (explicit, torchrun-MASTER_ADDR equivalent),
+      - SLURM with >1 node (the reference's sinfo bootstrap case),
+      - a multi-host TPU pod (MEGASCALE_COORDINATOR_ADDRESS / TPU worker env).
+    """
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+    env = os.environ
+    multi_host = (
+        env.get("JAX_COORDINATOR_ADDRESS")
+        or int(env.get("SLURM_JOB_NUM_NODES", "1")) > 1
+        or env.get("MEGASCALE_COORDINATOR_ADDRESS")
+        or "," in env.get("TPU_WORKER_HOSTNAMES", "")
+    )
+    if multi_host:
         jax.distributed.initialize()
 
 
