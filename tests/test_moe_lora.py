@@ -1,0 +1,178 @@
+"""Mixture-of-LoRA-Experts: a WORKING TPU-native version of the reference's
+dead MixtureOfLoRAExperts (models/modules/lora.py:101-199 — undefined `F`,
+per-sample Python routing; never constructed). Covers: init semantics
+(zero delta at init), routing math vs a numpy oracle, gradient flow, expert
+parallelism over the ep mesh axis, and the train step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visualcloze_tpu.config import FluxConfig
+from visualcloze_tpu.models.flux import flux_apply, init_flux
+from visualcloze_tpu.models.layers import MOE_TOP_K, _moe_lora_delta, linear
+from visualcloze_tpu.models.lora import fold_lora, init_lora, init_moe_lora, is_moe_lora
+
+
+def _flux_inputs(cfg, rng):
+    b, l_img, l_txt = 1, 16, 8
+    return dict(
+        img=jnp.asarray(rng.standard_normal((b, l_img, cfg.in_channels)), jnp.float32),
+        img_ids=jnp.zeros((b, l_img, 3), jnp.float32),
+        txt=jnp.asarray(rng.standard_normal((b, l_txt, cfg.context_in_dim)), jnp.float32),
+        txt_ids=jnp.zeros((b, l_txt, 3), jnp.float32),
+        timesteps=jnp.full((b,), 0.5, jnp.float32),
+        y=jnp.asarray(rng.standard_normal((b, cfg.vec_in_dim)), jnp.float32),
+        guidance=jnp.full((b,), 4.0, jnp.float32),
+    )
+
+
+def test_moe_lora_zero_delta_at_init():
+    """shared_b and expert_b are zero-init (ref lora.py:148-153): the MoE
+    adaptation is exactly inactive at init, like plain LoRA."""
+    cfg = FluxConfig().tiny()
+    params = init_flux(jax.random.PRNGKey(0), cfg)
+    moe = init_moe_lora(jax.random.PRNGKey(1), params, rank=4, num_experts=3)
+    assert is_moe_lora(moe) and not is_moe_lora(init_lora(jax.random.PRNGKey(2), params, 4))
+    kwargs = _flux_inputs(cfg, np.random.default_rng(0))
+    base = flux_apply(cfg, params, attn_impl="xla", **kwargs)
+    with_moe = flux_apply(cfg, params, lora=moe, attn_impl="xla", **kwargs)
+    np.testing.assert_allclose(np.asarray(with_moe), np.asarray(base), rtol=1e-6, atol=1e-6)
+
+
+def test_moe_lora_delta_matches_numpy_oracle():
+    """Dense-all-experts + sparse top-k gate == the reference routing
+    semantics (softmax -> top-k -> renormalize -> weighted expert deltas,
+    ref lora.py:160-190), plus the shared pair."""
+    rng = np.random.default_rng(3)
+    d_in, d_out, r, E = 12, 10, 4, 5
+    x = rng.standard_normal((2, 7, d_in)).astype(np.float32)
+    entry = {
+        "shared_a": rng.standard_normal((d_in, r)).astype(np.float32),
+        "shared_b": rng.standard_normal((r, d_out)).astype(np.float32),
+        "expert_a": rng.standard_normal((E, d_in, r)).astype(np.float32),
+        "expert_b": rng.standard_normal((E, r, d_out)).astype(np.float32),
+        "gate_w": rng.standard_normal((d_in, E)).astype(np.float32),
+        "gate_b": rng.standard_normal((E,)).astype(np.float32),
+    }
+    got = np.asarray(
+        _moe_lora_delta({k: jnp.asarray(v) for k, v in entry.items()}, jnp.asarray(x), 0.7)
+    )
+
+    # numpy oracle
+    logits = x @ entry["gate_w"] + entry["gate_b"]
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    probs = e / e.sum(-1, keepdims=True)
+    k = min(MOE_TOP_K, E)
+    want = np.zeros((2, 7, d_out), np.float32)
+    for b in range(2):
+        for t in range(7):
+            top = np.argsort(-probs[b, t])[:k]
+            w = probs[b, t, top]
+            w = w / w.sum()
+            acc = x[b, t] @ entry["shared_a"] @ entry["shared_b"]
+            for wi, ei in zip(w, top):
+                acc = acc + wi * (x[b, t] @ entry["expert_a"][ei] @ entry["expert_b"][ei])
+            want[b, t] = 0.7 * acc
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_moe_lora_gradients_flow():
+    rng = np.random.default_rng(4)
+    p = {"w": jnp.asarray(rng.standard_normal((8, 6)), jnp.float32)}
+    moe = init_moe_lora(jax.random.PRNGKey(5), {"lin": p}, rank=3, num_experts=2)["lin"]
+    x = jnp.asarray(rng.standard_normal((4, 8)), jnp.float32)
+
+    def loss(entry):
+        return jnp.sum(linear(p, x, lora=entry) ** 2)
+
+    g = jax.grad(loss)(moe)
+    # zero-init B factors still receive gradient (product rule through A)
+    assert float(jnp.abs(g["shared_b"]).max()) > 0
+    assert float(jnp.abs(g["expert_b"]).max()) > 0
+    assert g["gate_w"].shape == moe["gate_w"].shape
+
+
+def test_moe_lora_cannot_fold():
+    cfg = FluxConfig().tiny()
+    params = init_flux(jax.random.PRNGKey(0), cfg)
+    moe = init_moe_lora(jax.random.PRNGKey(1), params, rank=4, num_experts=2)
+    try:
+        fold_lora(params, moe)
+    except ValueError as e:
+        assert "MoE" in str(e)
+    else:
+        raise AssertionError("fold_lora should reject MoE entries")
+
+
+def test_moe_lora_ep_sharded_matches_replicated():
+    """Expert leaves sharded over ep=2: forward identical to unsharded."""
+    from visualcloze_tpu.parallel import create_mesh, shard_params
+
+    cfg = FluxConfig().tiny()
+    params = init_flux(jax.random.PRNGKey(0), cfg)
+    moe = init_moe_lora(jax.random.PRNGKey(1), params, rank=4, num_experts=4)
+    # make the adaptation active (B factors nonzero) so the test is not vacuous
+    moe = jax.tree.map(lambda v: v + 0.05, moe)
+    kwargs = _flux_inputs(cfg, np.random.default_rng(1))
+
+    want = np.asarray(jax.jit(
+        lambda p, l: flux_apply(cfg, p, lora=l, attn_impl="xla", **kwargs)
+    )(params, moe))
+
+    mesh = create_mesh(fsdp=2, ep=2)
+    sparams = shard_params(params, mesh)
+    smoe = shard_params(moe, mesh)
+    qkv = smoe["double_blocks"]["img_attn"]["qkv"]
+    ep_shard = qkv["expert_a"].sharding.shard_shape(qkv["expert_a"].shape)
+    assert ep_shard[-3] == 2  # 4 experts / ep=2
+
+    got = np.asarray(jax.jit(
+        lambda p, l: flux_apply(cfg, p, lora=l, attn_impl="xla", **kwargs)
+    )(sparams, smoe))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_train_step_with_moe_lora():
+    """training_type='lora' with a MoE tree: one sharded step runs, loss
+    finite, zero-init expert_b leaves move."""
+    from visualcloze_tpu.parallel import create_mesh, replicate_tree, shard_params
+    from visualcloze_tpu.training import init_train_state, make_optimizer, make_train_step
+    from visualcloze_tpu.transport import create_transport
+
+    cfg = FluxConfig().tiny()
+    mesh = create_mesh(fsdp=2, ep=2)
+    params = shard_params(init_flux(jax.random.PRNGKey(0), cfg), mesh)
+    moe = shard_params(
+        init_moe_lora(jax.random.PRNGKey(1), params, rank=4, num_experts=4), mesh
+    )
+
+    transport = create_transport("Linear", "velocity", snr_type="lognorm", do_shift=True)
+    opt = make_optimizer(lr=1e-2, grad_clip=2.0)
+    state = init_train_state(params, moe, opt, "lora", use_ema=True)
+    step = jax.jit(make_train_step(cfg, transport, opt, "lora", attn_impl="xla",
+                                   compute_dtype=jnp.float32))
+
+    rng = np.random.default_rng(0)
+    accum, bs, l_img, l_txt = 1, 4, 16, 8
+    batch = {
+        "x1": jnp.asarray(rng.standard_normal((accum, bs, l_img, cfg.out_channels)), jnp.float32),
+        "cond": jnp.asarray(
+            rng.standard_normal((accum, bs, l_img, cfg.in_channels - cfg.out_channels)),
+            jnp.float32),
+        "img_ids": jnp.zeros((accum, bs, l_img, 3), jnp.float32),
+        "img_mask": jnp.ones((accum, bs, l_img), jnp.int32),
+        "txt": jnp.asarray(rng.standard_normal((accum, bs, l_txt, cfg.context_in_dim)), jnp.float32),
+        "txt_ids": jnp.zeros((accum, bs, l_txt, 3), jnp.float32),
+        "txt_mask": jnp.ones((accum, bs, l_txt), jnp.int32),
+        "vec": jnp.asarray(rng.standard_normal((accum, bs, cfg.vec_in_dim)), jnp.float32),
+    }
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+    moved = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.lora, new_state.lora
+    )
+    assert max(jax.tree.leaves(moved)) > 0
+    eb = new_state.lora["double_blocks"]["img_attn"]["qkv"]["expert_b"]
+    assert float(jnp.abs(eb).max()) > 0  # zero-init experts actually trained
+    del replicate_tree

@@ -27,14 +27,54 @@ Params = dict[str, Any]
 
 # ----------------------------- primitives -----------------------------
 
+MOE_TOP_K = 2  # reference MixtureOfLoRAExperts default (lora.py:112)
+
+
 def _lora_delta(lora: Params, x: jnp.ndarray, scale) -> jnp.ndarray:
     """x @ A @ B * scale (+ B bias); lora_B carries a bias in the reference
     (models/modules/lora.py:77-88, lora_bias=True)."""
+    if "expert_a" in lora:
+        return _moe_lora_delta(lora, x, scale)
     y = jnp.einsum("...i,ir->...r", x, lora["a"].astype(x.dtype))
     y = jnp.einsum("...r,ro->...o", y, lora["b"].astype(x.dtype))
     if "b_bias" in lora:
         y = y + lora["b_bias"].astype(y.dtype)
     return y * jnp.asarray(scale, dtype=y.dtype)
+
+
+def _moe_lora_delta(lora: Params, x: jnp.ndarray, scale) -> jnp.ndarray:
+    """Mixture-of-LoRA-Experts delta: shared LoRA + top-k gated expert LoRAs
+    (working TPU-native version of the reference's dead MixtureOfLoRAExperts,
+    models/modules/lora.py:101-199; see models/lora.init_moe_lora).
+
+    TPU-first routing: every expert's low-rank delta is computed DENSELY as
+    one batched einsum over the expert axis and combined with the sparse
+    top-k gate weights. For the MoE-LoRA regime (E <= 8, rank <= 256) the
+    extra FLOPs are far cheaper than gather/scatter token routing, which
+    XLA cannot tile onto the MXU; the expert einsums also shard cleanly over
+    an `ep` mesh axis (one psum over experts, inserted by GSPMD).
+    """
+    shared = jnp.einsum("...i,ir->...r", x, lora["shared_a"].astype(x.dtype))
+    shared = jnp.einsum("...r,ro->...o", shared, lora["shared_b"].astype(x.dtype))
+
+    # token-wise gate in fp32, softmax over experts, renormalized top-k
+    logits = jnp.einsum(
+        "...i,ie->...e", x.astype(jnp.float32), lora["gate_w"].astype(jnp.float32)
+    ) + lora["gate_b"].astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)  # (..., E)
+    n_exp = probs.shape[-1]
+    k = min(MOE_TOP_K, n_exp)
+    top_v, top_i = jax.lax.top_k(probs, k)
+    top_v = top_v / jnp.sum(top_v, axis=-1, keepdims=True)
+    weights = jnp.sum(
+        jax.nn.one_hot(top_i, n_exp, dtype=jnp.float32) * top_v[..., None], axis=-2
+    )  # (..., E) sparse gate weights
+
+    h = jnp.einsum("...i,eir->...er", x, lora["expert_a"].astype(x.dtype))
+    d = jnp.einsum("...er,ero->...eo", h, lora["expert_b"].astype(x.dtype))
+    expert_out = jnp.einsum("...eo,...e->...o", d, weights.astype(d.dtype))
+
+    return (shared + expert_out) * jnp.asarray(scale, dtype=x.dtype)
 
 
 def linear(p: Params, x: jnp.ndarray, lora: Params | None = None, lora_scale=1.0) -> jnp.ndarray:

@@ -68,6 +68,84 @@ def init_lora(
     return out
 
 
+def init_moe_lora(
+    key: jax.Array,
+    params: Params,
+    rank: int,
+    num_experts: int,
+    dtype=jnp.float32,
+) -> Params:
+    """Build a Mixture-of-LoRA-Experts pytree mirroring `params`' linears.
+
+    A WORKING TPU-native realization of the reference's dead
+    MixtureOfLoRAExperts (models/modules/lora.py:101-199 — Chinese-commented,
+    references an undefined `F`, per-sample Python routing loops; never
+    constructed by any entry point). Same parameterization and init:
+      - shared LoRA pair (shared_a uniform, shared_b zeros),
+      - per-expert LoRA pairs stacked on a leading expert axis
+        (expert_a uniform, expert_b zeros),
+      - token-wise softmax gate (weight std 0.01, bias zeros), top-2 routing.
+    Entries drop into the same runtime slots as plain LoRA (flux_apply's
+    `lora=` pytree); models/layers._lora_delta dispatches on "expert_a".
+    Expert leaves shard over an `ep` mesh axis (parallel/sharding.py).
+    """
+    flat: list[tuple[tuple, Any]] = []
+
+    def walk(node, path):
+        if _is_linear(node):
+            flat.append((path, node))
+            return
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, path + (k,))
+
+    walk(params, ())
+    keys = jax.random.split(key, len(flat))
+    out: Params = {}
+    for (path, lin), k in zip(flat, keys):
+        w = lin["w"]
+        *lead, d_in, d_out = w.shape
+        r = min(rank, d_in, d_out)
+        k_sh, k_ex, k_gate = jax.random.split(k, 3)
+        bound = d_in ** -0.5  # torch nn.Linear default init for the A factors
+        entry = {
+            "shared_a": jax.random.uniform(
+                k_sh, (*lead, d_in, r), jnp.float32, -bound, bound
+            ).astype(dtype),
+            "shared_b": jnp.zeros((*lead, r, d_out), dtype),
+            "expert_a": jax.random.uniform(
+                k_ex, (*lead, num_experts, d_in, r), jnp.float32, -bound, bound
+            ).astype(dtype),
+            "expert_b": jnp.zeros((*lead, num_experts, r, d_out), dtype),
+            # gate: normal(std 0.01) weight, zero bias (ref lora.py:152-157)
+            "gate_w": (
+                0.01 * jax.random.normal(k_gate, (*lead, d_in, num_experts), jnp.float32)
+            ).astype(dtype),
+            "gate_b": jnp.zeros((*lead, num_experts), dtype),
+        }
+        node = out
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = entry
+    return out
+
+
+def is_moe_lora(lora: Params) -> bool:
+    """True if any entry in the tree is a Mixture-of-LoRA-Experts entry."""
+    found = [False]
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "expert_a" in node:
+                found[0] = True
+                return
+            for v in node.values():
+                walk(v)
+
+    walk(lora)
+    return found[0]
+
+
 def fold_lora(params: Params, lora: Params, scale: float = 1.0) -> Params:
     """Merge LoRA factors into base weights: W += scale*A@B, b += scale*b_B.
 
@@ -78,6 +156,11 @@ def fold_lora(params: Params, lora: Params, scale: float = 1.0) -> Params:
         if _is_linear(p_node):
             if l_node is None:
                 return p_node
+            if "expert_a" in l_node:
+                raise ValueError(
+                    "MoE-LoRA entries are input-gated and cannot be folded into "
+                    "dense weights; serve with flux_apply(..., lora=moe_tree) instead"
+                )
             w = p_node["w"]
             delta = jnp.einsum(
                 "...ir,...ro->...io",

@@ -18,7 +18,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-AXES = ("dp", "fsdp", "tp", "cp")
+AXES = ("dp", "fsdp", "tp", "cp", "ep")
 
 
 def create_mesh(
@@ -26,16 +26,21 @@ def create_mesh(
     fsdp: int = 1,
     tp: int = 1,
     cp: int = 1,
+    ep: int = 1,
     devices: list | None = None,
 ) -> Mesh:
-    """Build a (dp, fsdp, tp, cp) mesh over the given (default: all) devices.
-    cp = sequence/context parallelism (ring attention, ops/ring_attention.py);
-    innermost so ppermute hops ride nearest-neighbor ICI links."""
+    """Build a (dp, fsdp, tp, cp, ep) mesh over the given (default: all)
+    devices. cp = sequence/context parallelism (ring attention,
+    ops/ring_attention.py); ep = expert parallelism (MoE-LoRA expert leaves,
+    parallel/sharding.py). Both innermost so their collectives (ppermute /
+    expert psum) ride nearest-neighbor ICI links."""
     devices = devices if devices is not None else jax.devices()
-    n = dp * fsdp * tp * cp
+    n = dp * fsdp * tp * cp * ep
     if n > len(devices):
-        raise ValueError(f"mesh {dp}x{fsdp}x{tp}x{cp}={n} exceeds {len(devices)} devices")
-    arr = np.asarray(devices[:n]).reshape(dp, fsdp, tp, cp)
+        raise ValueError(
+            f"mesh {dp}x{fsdp}x{tp}x{cp}x{ep}={n} exceeds {len(devices)} devices"
+        )
+    arr = np.asarray(devices[:n]).reshape(dp, fsdp, tp, cp, ep)
     return Mesh(arr, AXES)
 
 

@@ -109,6 +109,21 @@ def flux_param_spec(key_path, leaf, mesh: Mesh) -> P:
             spec[-2] = fsdp
         return P(*spec)
 
+    if leaf_name in ("shared_a",):  # MoE-LoRA shared A: like lora A
+        spec = [None] * len(shape)
+        if fsdp and _divisible(shape[-2], mesh, "fsdp"):
+            spec[-2] = fsdp
+        return P(*spec)
+
+    if leaf_name in ("expert_a", "expert_b"):
+        # (..., E, in, r) / (..., E, r, out): experts over the ep axis;
+        # GSPMD inserts the single psum over experts in the combine einsum
+        spec = [None] * len(shape)
+        ep = "ep" if mesh.shape.get("ep", 1) > 1 else None
+        if ep and _divisible(shape[-3], mesh, "ep"):
+            spec[-3] = ep
+        return P(*spec)
+
     # norm scales and anything else: replicated
     del stacked
     return P(*([None] * len(shape)))

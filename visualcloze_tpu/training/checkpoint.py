@@ -54,7 +54,11 @@ def save_checkpoint(
             ),
         )
 
-    if state.lora is not None:
+    from ..models.lora import is_moe_lora
+
+    if state.lora is not None and not is_moe_lora(state.lora):
+        # MoE-LoRA trees have no reference .pth format (the reference's
+        # MixtureOfLoRAExperts is dead code); they live in the orbax state
         _save_torch_lora(ckpt_dir / "consolidated.00-of-01.pth", state.lora, flux_cfg)
         if save_ema and state.ema is not None:
             _save_torch_lora(ckpt_dir / "consolidated_ema.00-of-01.pth", state.ema, flux_cfg)

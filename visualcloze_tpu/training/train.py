@@ -74,6 +74,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--training_type", default="lora",
                    choices=["lora", "full_model", "double_block", "bias", "norm"])
     p.add_argument("--lora_rank", type=int, default=128)
+    p.add_argument("--moe_experts", type=int, default=0,
+                   help="MoE-LoRA: number of expert LoRA pairs (0 = plain "
+                        "LoRA). Expert leaves shard over the ep mesh axis.")
+    p.add_argument("--ep", type=int, default=1,
+                   help="expert-parallel mesh axis size (MoE-LoRA)")
     p.add_argument("--use_model_ema", action="store_true")
     p.add_argument("--ema_decay", type=float, default=0.95)
     p.add_argument("--checkpointing", action="store_true", help="activation remat")
@@ -119,10 +124,10 @@ def main(argv=None) -> None:
     enable_compilation_cache()
 
     n_dev = len(jax.devices())
-    fsdp = args.fsdp or max(1, n_dev // (args.dp * args.tp * args.cp))
-    mesh = create_mesh(dp=args.dp, fsdp=fsdp, tp=args.tp, cp=args.cp)
-    logger.info("mesh: dp=%d fsdp=%d tp=%d cp=%d over %d devices",
-                args.dp, fsdp, args.tp, args.cp, n_dev)
+    fsdp = args.fsdp or max(1, n_dev // (args.dp * args.tp * args.cp * args.ep))
+    mesh = create_mesh(dp=args.dp, fsdp=fsdp, tp=args.tp, cp=args.cp, ep=args.ep)
+    logger.info("mesh: dp=%d fsdp=%d tp=%d cp=%d ep=%d over %d devices",
+                args.dp, fsdp, args.tp, args.cp, args.ep, n_dev)
 
     # ----- models -----
     spec = configs[args.model_name]
@@ -150,7 +155,17 @@ def main(argv=None) -> None:
 
     lora = None
     if args.training_type == "lora":
-        lora = init_lora(jax.random.PRNGKey(args.global_seed + 1), params, args.lora_rank)
+        if args.moe_experts > 0:
+            from ..models.lora import init_moe_lora
+
+            lora = init_moe_lora(
+                jax.random.PRNGKey(args.global_seed + 1), params,
+                args.lora_rank, num_experts=args.moe_experts,
+            )
+        else:
+            lora = init_lora(
+                jax.random.PRNGKey(args.global_seed + 1), params, args.lora_rank
+            )
         if args.init_from:
             lora = ckpt.load_torch_lora(args.init_from, flux_cfg)
         logger.info("LoRA params: %.1fM", lora_param_count(lora) / 1e6)
@@ -158,7 +173,10 @@ def main(argv=None) -> None:
 
     params = shard_params(params, mesh)
     if lora is not None:
-        lora = replicate_tree(lora, mesh)
+        if args.moe_experts > 0:
+            lora = shard_params(lora, mesh)  # expert leaves over the ep axis
+        else:
+            lora = replicate_tree(lora, mesh)
 
     # ----- optimizer / state -----
     mask = None
