@@ -37,10 +37,12 @@ from jax.experimental.pallas import tpu as pltpu
 # old defaults (both reduce to 512-blocks for e.g. L=4608).
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 4096
-# bwd kernels keep 1024x1024: their extra (BQ, BK) dl tile would blow the
-# 16 MB VMEM budget at larger blocks
-DEFAULT_BLOCK_Q_BWD = 1024
-DEFAULT_BLOCK_K_BWD = 1024
+# bwd: same tall-k shape at half scale — the extra (BQ, BK) dl tile doubles
+# the footprint, so (512, 2048) is the largest tall-k fit (s+dl = 8 MB).
+# Measured v5e L=4096 (fwd+recompute+dq+dkv, 3.5x flops accounting):
+#   (512, 2048) 81.1%;  (1024, 1024) 78.6%;  (2048, 512) 63.9%.
+DEFAULT_BLOCK_Q_BWD = 512
+DEFAULT_BLOCK_K_BWD = 2048
 NEG_INF = -1e30
 
 
