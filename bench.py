@@ -43,7 +43,9 @@ V5E_PEAK_BF16 = 197e12  # FLOP/s
 
 # flagship sampling config (SURVEY.md §3.2): 2x3 grid @ 384 -> 3456 img tokens
 L_IMG, L_TXT = 3456, 512  # true image tokens
-L_IMG_PAD = 3584          # bucketed so txt+img stays a 512-multiple
+L_IMG_PAD = 3456          # 128-bucketed: 3456 is a lane multiple, no padding
+                          # (the flash kernel pads internally to block
+                          # multiples — ops/flash_attention._choose_block)
 ROW_H, ROW_W = 384, 1152  # one grid row in pixels
 N_ROWS = 2
 STEPS = 30
@@ -137,6 +139,7 @@ def make_inputs(cfg):
     img_ids[:, :L_IMG, 2] = np.tile(np.arange(L_IMG // 2) % 72, 2)
     img_mask = np.zeros((b, L_IMG_PAD), np.int32)
     img_mask[:, :L_IMG] = 1
+    full = L_IMG_PAD == L_IMG
     return dict(
         x=jnp.asarray(rng.standard_normal((b, L_IMG_PAD, 64)), jnp.bfloat16),
         cond=jnp.asarray(rng.standard_normal((b, L_IMG_PAD, 320)), jnp.bfloat16),
@@ -145,7 +148,7 @@ def make_inputs(cfg):
         vec=jnp.asarray(rng.standard_normal((b, cfg.vec_in_dim)), jnp.bfloat16),
         guidance=jnp.full((b,), 30.0, jnp.bfloat16),
         ids=jnp.asarray(img_ids),
-        mask=jnp.asarray(img_mask),
+        mask=None if full else jnp.asarray(img_mask),
     )
 
 

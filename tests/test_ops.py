@@ -383,3 +383,49 @@ def test_prepare_modified_broadcasts_single_image_to_prompts():
     with pytest.raises(ValueError, match="batch mismatch"):
         prepare_modified(t5, clip, [rows[0], rows[0], rows[0]], ["a", "b"],
                          proportion_empty_prompts=0.0)
+
+
+def test_choose_block_bounded_waste_policy():
+    """Block sizes decouple from sequence length: biggest power-of-two block
+    whose internal padding waste stays under 12.5%."""
+    from visualcloze_tpu.ops.flash_attention import _choose_block
+
+    assert _choose_block(4096, 4096) == 4096   # exact
+    assert _choose_block(3968, 4096) == 4096   # 3.2% waste, keep big block
+    assert _choose_block(4608, 4096) == 1024   # 4096 would pad to 8192 (78%)
+    assert _choose_block(512, 4096) == 512
+    assert _choose_block(200, 512) == 128      # lane-width floor
+    assert _choose_block(2176, 2048) == 256    # 2048->4096 (88%), 256->2304 (5.9%)
+
+
+def test_flash_attention_nondividing_length_big_blocks_interpret():
+    """L that no large block divides (e.g. 31*128) still runs with big blocks
+    via internal block-multiple padding, matching the XLA oracle."""
+    import unittest.mock as um
+
+    from visualcloze_tpu.ops import flash_attention as fa
+
+    rng = np.random.default_rng(11)
+    b, h, L, d = 1, 2, 384, 32  # 3*128: block 256 pads to 512 -> falls to 128? 384*1.125=432 <512 -> 128
+    q = rng.standard_normal((b, h, L, d)).astype(np.float32)
+    mask = np.ones((b, L), np.int32)
+    mask[0, 300:] = 0
+    bias = mask_to_bias(jnp.asarray(mask))
+
+    orig = fa.pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        kwargs.pop("compiler_params", None)
+        return orig(*args, **kwargs)
+
+    with um.patch.object(fa.pl, "pallas_call", interp_call):
+        got = fa._flash_fwd(
+            jnp.asarray(q), jnp.asarray(q), jnp.asarray(q), bias,
+            block_q=256, block_k=256,
+        )
+    want = mha_xla(jnp.asarray(q), jnp.asarray(q), jnp.asarray(q), bias)
+    valid = mask[:, None, :, None]
+    np.testing.assert_allclose(
+        np.asarray(got) * valid, np.asarray(want) * valid, rtol=2e-5, atol=2e-5
+    )

@@ -108,6 +108,23 @@ def _pick_block(length: int, preferred: int) -> int:
     return max(block, 128)
 
 
+def _choose_block(length: int, preferred: int, max_waste: float = 0.125) -> int:
+    """Block size for a sequence that need NOT divide evenly: the sequence is
+    padded up to a block multiple inside the kernel (padded keys bias-masked,
+    padded query rows sliced off). Pick the largest power-of-two block whose
+    padding waste stays under `max_waste` — big blocks are much faster
+    (38.9% vs 20.5% MFU between 4096 and 512 k-blocks at L=4096) but padding
+    multiplies attention work, so e.g. L=4608 prefers bk=1024 (pad to 5120,
+    11% waste at 31% MFU) over bk=4096 (pad to 8192, 78% waste)."""
+    block = preferred
+    while block > 128:
+        padded = -(-length // block) * block
+        if padded <= length * (1.0 + max_waste):
+            return block
+        block //= 2
+    return 128
+
+
 def _flash_fwd(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -119,10 +136,14 @@ def _flash_fwd(
     b, h, lq, d = q.shape
     lk = k.shape[2]
 
-    # pad sequence dims to a multiple of 128 (TPU lane width): padded keys get
-    # -inf bias, padded query rows are sliced off the output
-    lq_pad = (-lq) % 128
-    lk_pad = (-lk) % 128
+    # pad sequence dims up to BLOCK multiples (not just the 128 lane width):
+    # padded keys get -inf bias, padded query rows are sliced off the output.
+    # Decoupling block size from sequence length keeps big (fast) blocks for
+    # lengths they don't divide — _choose_block bounds the padding waste.
+    bq = _choose_block(lq, block_q)
+    bk = _choose_block(lk, block_k)
+    lq_pad = (-lq) % bq
+    lk_pad = (-lk) % bk
     if lq_pad:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad), (0, 0)))
     if lk_pad and bias is None:
@@ -134,9 +155,6 @@ def _flash_fwd(
             bias.astype(jnp.float32), ((0, 0), (0, lk_pad)), constant_values=NEG_INF
         )
     lq_p, lk_p = lq + lq_pad, lk + lk_pad
-
-    bq = _pick_block(lq_p, block_q)
-    bk = _pick_block(lk_p, block_k)
     grid = (b, h, lq_p // bq, lk_p // bk)
 
     q_spec = pl.BlockSpec((1, 1, bq, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0))
@@ -303,10 +321,12 @@ def _dkv_kernel_nobias(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 
 def _pad_qkv(q, k, v, bias):
+    """Pad the bwd-path operands to BWD-block multiples (padded keys get the
+    -inf bias; padded query rows are handled by zero do / sliced outputs)."""
     b, h, lq, d = q.shape
     lk = k.shape[2]
-    lq_pad = (-lq) % 128
-    lk_pad = (-lk) % 128
+    lq_pad = (-lq) % _choose_block(lq, DEFAULT_BLOCK_Q_BWD)
+    lk_pad = (-lk) % _choose_block(lk, DEFAULT_BLOCK_K_BWD)
     if lq_pad:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad), (0, 0)))
     if lk_pad and bias is None:

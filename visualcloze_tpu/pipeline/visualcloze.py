@@ -218,11 +218,14 @@ class VisualClozeModel:
         )[None]
 
         true_len = sum(h * w // 256 for (h, w) in sizes)
-        # bucket the sequence so txt(512)+img is a 512-multiple: the flash
-        # kernel's aligned path is ~3x faster than its internal-pad path
+        # bucket to the 128 lane width only: the flash kernel pads internally
+        # to block multiples with bounded waste (_choose_block), so the rest
+        # of the model runs at the minimal token count — the flagship 2x3
+        # grid (3456 img + 512 txt = 3968) carries zero bucket padding where
+        # a 512-bucket added 128 dead tokens to every matmul
         inp = prepare_modified(
             self.t5, self.clip, [noise_rows], [" ".join(prompts)],
-            proportion_empty_prompts=0.0, bucket=512,
+            proportion_empty_prompts=0.0, bucket=128,
         )
         if inp["img"].shape[1] > true_len:
             # pad img_cond to the bucketed length too
@@ -377,7 +380,7 @@ class VisualClozeModel:
         noise = jax.random.normal(nk, latent.shape, dtype=jnp.float32).astype(jnp.bfloat16)
         inp = prepare_modified(
             self.t5, self.clip, [[noise]], [content_prompt],
-            proportion_empty_prompts=0.0, bucket=512,
+            proportion_empty_prompts=0.0, bucket=128,
         )
         true_len = latent_tok.shape[1]
         if inp["img"].shape[1] > true_len:
