@@ -318,3 +318,32 @@ def test_sde_last_step_none_covers_full_grid():
         diffusion_form="constant", diffusion_norm=0.0, last_step=None,
     )
     np.testing.assert_allclose(np.asarray(out), 2.0, rtol=1e-5)
+
+
+def test_sde_tweedie_last_step_recovers_delta_target():
+    """Tweedie last step (ref transport.py:286-291): x/alpha + sigma^2/alpha
+    * score is the denoising posterior mean — for the exact velocity field of
+    a delta-target linear flow it lands exactly on the target, regardless of
+    the stochastic path."""
+    import jax
+    import jax.numpy as jnp
+
+    from visualcloze_tpu.transport import create_transport
+    from visualcloze_tpu.transport.sampling import denoise_sde
+
+    c = 0.7  # delta target
+
+    def model_fn(x, timesteps, **_):
+        tf = timesteps[0]  # flux time; transport time = 1 - tf
+        u = (c - x) / jnp.maximum(tf, 1e-6)  # exact conditional velocity
+        return -u  # flux convention (time-flipped)
+
+    transport = create_transport("Linear", "velocity")
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((1, 4, 3)), jnp.float32)
+    ts = jnp.asarray(np.linspace(1.0, 0.0, 8, dtype=np.float32))
+    out = denoise_sde(
+        transport, model_fn, jax.random.PRNGKey(3), x, ts, {},
+        diffusion_form="constant", diffusion_norm=0.5, last_step="Tweedie",
+    )
+    np.testing.assert_allclose(np.asarray(out), c, rtol=0, atol=5e-3)

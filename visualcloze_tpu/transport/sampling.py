@@ -256,6 +256,14 @@ def denoise_sde(
     elif last_step == "Euler":
         v = velocity(x, t_cur).astype(jnp.float32)
         x = (x.astype(jnp.float32) + v * (t_next - t_cur)).astype(x.dtype)
+    elif last_step == "Tweedie":
+        # ref transport.py:286-291: x/alpha(t) + sigma(t)^2/alpha(t) * score
+        # (denoising-posterior mean); alpha/sigma take transport time 1 - t
+        v, score, _ = drift_terms(x, t_cur)
+        t_tr = jnp.full((b,), 1.0 - t_cur, dtype=jnp.float32)
+        alpha = plan.compute_alpha_t(t_tr)[0][0]
+        sigma = plan.compute_sigma_t(t_tr)[0][0]
+        x = (x.astype(jnp.float32) / alpha + (sigma ** 2) / alpha * score).astype(x.dtype)
     else:
         raise NotImplementedError(f"last_step {last_step!r}")
     return x
