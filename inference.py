@@ -39,7 +39,7 @@ def parse_args(argv=None):
     p.add_argument("--upsampling_steps", type=int, default=10)
     p.add_argument("--upsampling_noise", type=float, default=0.4)
     p.add_argument("--no_upsampling", action="store_true")
-    p.add_argument("--solver", default="euler", choices=["euler", "heun", "dopri5"])
+    p.add_argument("--solver", default="euler", choices=["euler", "heun", "ab2", "dopri5"])
     p.add_argument("-o", "--output", default="example.jpg")
     p.add_argument("--demo", action="store_true", help="tiny random model, no checkpoints")
     return p.parse_args(argv)

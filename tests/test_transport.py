@@ -347,3 +347,35 @@ def test_sde_tweedie_last_step_recovers_delta_target():
         diffusion_form="constant", diffusion_norm=0.5, last_step="Tweedie",
     )
     np.testing.assert_allclose(np.asarray(out), c, rtol=0, atol=5e-3)
+
+
+def test_ab2_second_order_convergence_on_shifted_grid():
+    """Nonuniform-grid Adams-Bashforth 2 (one model eval per step): error
+    shrinks ~4x when steps double (2nd order), and beats euler at equal
+    step count — the training-free fast-solver capability (PAPERS.md)."""
+    import jax.numpy as jnp
+
+    from visualcloze_tpu.ops.schedule import ode_timesteps
+    from visualcloze_tpu.transport.sampling import denoise_ode
+
+    def model_fn(x, timesteps, **_):
+        t = timesteps[0]
+        return -x * (0.5 + t) + 0.3 * jnp.sin(3.0 * x)  # nonlinear field
+
+    rng = np.random.default_rng(1)
+    x0 = jnp.asarray(rng.standard_normal((1, 8, 4)), jnp.float32)
+
+    def run(method, n):
+        ts = jnp.asarray(ode_timesteps(n, 3456, do_shift=True))  # shifted grid
+        return np.asarray(denoise_ode(model_fn, x0, ts, {}, method=method))
+
+    ref = run("heun", 2000)
+
+    def err(method, n):
+        return float(np.abs(run(method, n) - ref).max())
+
+    e_ab2_16, e_ab2_32 = err("ab2", 16), err("ab2", 32)
+    e_eul_16 = err("euler", 16)
+    assert e_ab2_16 < e_eul_16 / 2  # big win at equal evals
+    order = np.log2(e_ab2_16 / e_ab2_32)
+    assert order > 1.6, order  # ~2nd order on the nonuniform grid

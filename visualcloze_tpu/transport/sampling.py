@@ -42,7 +42,11 @@ def denoise_ode(
       timesteps: (N,) descending grid (from ops.schedule.ode_timesteps).
       cond: optional (B, L, C) channel-concatenated conditioning
         (transport.py:193-198 velocity_ode).
-      method: "euler" (reference default) or "heun" (2nd order).
+      method: "euler" (reference default), "heun" (2nd order, 2 evals/step),
+        or "ab2" (Adams–Bashforth 2 on the nonuniform shifted grid: 2nd
+        order at ONE model eval per step — the training-free fast-solver
+        family of PAPERS.md "Leveraging Previous Steps" applied TPU-style,
+        as a multistep scan carry instead of a solver cache).
 
     Returns final x.
     """
@@ -69,6 +73,32 @@ def denoise_ode(
             x_mid = x + dt * v1
             v2 = velocity(x_mid, t_next).astype(x.dtype)
             return x + dt * 0.5 * (v1 + v2), None
+    elif method == "ab2":
+        # nonuniform-step Adams–Bashforth 2: one model eval per step,
+        # x_{n+1} = x_n + h_n [(1 + r/2) v_n - (r/2) v_{n-1}], r = h_n/h_{n-1}
+        # (first interval bootstraps with Heun so the whole scheme stays
+        # 2nd order). Same per-step cost as euler, one extra eval total.
+        t0, t1 = timesteps[0], timesteps[1]
+        h0 = (t1 - t0).astype(jnp.float32)
+        v0 = velocity(x, t0).astype(jnp.float32)
+        x32 = x.astype(jnp.float32)
+        x_pred = x32 + h0 * v0
+        v0b = velocity(x_pred.astype(x.dtype), t1).astype(jnp.float32)
+        x32 = x32 + h0 * 0.5 * (v0 + v0b)
+
+        def step(carry, pair):
+            xc, v_prev, h_prev = carry
+            t_cur, t_next = pair[0], pair[1]
+            h = (t_next - t_cur).astype(jnp.float32)
+            v = velocity(xc.astype(x.dtype), t_cur).astype(jnp.float32)
+            r = h / h_prev
+            xc = xc + h * ((1.0 + 0.5 * r) * v - 0.5 * r * v_prev)
+            return (xc, v, h), None
+
+        # carry v_prev = v(t0): the first AB2 step over [t1, t2] pairs its
+        # fresh v(t1) with the true previous-node velocity
+        (x32, _, _), _ = jax.lax.scan(step, (x32, v0, h0), pairs[1:])
+        return x32.astype(x.dtype)
     else:
         raise NotImplementedError(f"ODE method {method!r}")
 
