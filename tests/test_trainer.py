@@ -115,6 +115,40 @@ def test_trainer_cli_smoke(tmp_path):
     assert (tmp_path / "results" / "checkpoints" / "0000005").is_dir()
 
 
+def test_trainer_cli_moe_lora_smoke(tmp_path):
+    """--moe_experts with an ep mesh axis: 2 steps run, orbax checkpoint is
+    written, and the torch-format export is correctly SKIPPED (MoE trees
+    have no reference .pth format)."""
+    from visualcloze_tpu.training.train import main
+
+    random.seed(0)
+    config = make_dataset_files(tmp_path)
+    main(
+        [
+            "--data_path", config,
+            "--results_dir", str(tmp_path / "results"),
+            "--tiny", "--init_random",
+            "--max_steps", "2",
+            "--global_bsz", "2",
+            "--micro_bsz", "1",
+            "--grid_resolution", "64",
+            "--lora_rank", "4",
+            "--moe_experts", "4",
+            "--ep", "2",
+            "--fsdp", "2",
+            "--ckpt_every", "2",
+            "--log_every", "1",
+            "--num_workers", "2",
+            "--max_seq_bucket", "128",
+            "--precision", "fp32",
+        ]
+    )
+    ckpt_dir = tmp_path / "results" / "checkpoints" / "0000002"
+    assert ckpt_dir.is_dir()
+    assert (ckpt_dir / "state").is_dir()  # orbax state present
+    assert not (ckpt_dir / "consolidated.00-of-01.pth").exists()  # no .pth format for MoE
+
+
 def test_checkpoint_roundtrip(tmp_path):
     cfg = FluxConfig().tiny()
     params = init_flux(jax.random.PRNGKey(0), cfg)
