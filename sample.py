@@ -35,6 +35,12 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max_items", type=int, default=0)
     p.add_argument("--demo", action="store_true", help="tiny random model")
+    p.add_argument("--shard", type=int, default=0,
+                   help="this worker's shard index (items split round-robin)")
+    p.add_argument("--num_shards", type=int, default=1,
+                   help="total sweep workers — the reference locks sample.py "
+                        "to one GPU (ref sample.py:258); here N chips sweep "
+                        "disjoint item shards with per-shard manifests")
     return p.parse_args(argv)
 
 
@@ -81,7 +87,13 @@ def main(argv=None):
         items = items[: args.max_items]
 
     os.makedirs(args.output_dir, exist_ok=True)
-    manifest_path = os.path.join(args.output_dir, "data.json")
+    if args.num_shards > 1:
+        assert 0 <= args.shard < args.num_shards
+        manifest_path = os.path.join(
+            args.output_dir, f"data.{args.shard:02d}-of-{args.num_shards:02d}.json"
+        )
+    else:
+        manifest_path = os.path.join(args.output_dir, "data.json")
     manifest: list[dict] = []
     collected: set[str] = set()
     if os.path.exists(manifest_path):  # resume (ref sample.py:84-92)
@@ -91,6 +103,8 @@ def main(argv=None):
 
     processor = Graph200KItemProcessor(resolution=resolution)
     for item_idx, item in enumerate(items):
+        if item_idx % args.num_shards != args.shard:
+            continue  # another worker's item (partners still drawn from all)
         for context_num in (1, 2, 3):
             for task in test_task_dicts:
                 for row_spec in task["image_list"]:

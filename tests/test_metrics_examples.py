@@ -120,3 +120,52 @@ def test_inference_cli_demo(tmp_path):
     out = tmp_path / "demo.jpg"
     inference_cli.main(["--demo", "--steps", "2", "--no_upsampling", "-o", str(out)])
     assert out.exists()
+
+
+def test_sample_cli_sharded_sweep_disjoint(tmp_path):
+    """--shard/--num_shards split items disjointly with per-shard manifests
+    (the reference locks sample.py to one GPU; ref sample.py:258)."""
+    import json
+    import random
+
+    import numpy as np
+    from PIL import Image
+
+    import sample as sample_cli
+
+    random.seed(0)
+    items = []
+    for i in range(2):
+        img = Image.fromarray(
+            np.random.default_rng(i).integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        )
+        cond = {}
+        for name in ("target", "reference", "foreground", "canny", "depth",
+                     "openpose", "uniformer"):
+            p = tmp_path / f"{i}_{name}.png"
+            img.save(p)
+            cond[name] = str(p)
+        items.append({
+            "condition": cond,
+            "quality_assessment": {"objectConsistency": 5},
+            "description": {"item": f"i{i}", "description_0": "d"},
+        })
+    test_json = tmp_path / "test.json"
+    test_json.write_text(json.dumps(items))
+    out_dir = tmp_path / "out"
+    ids = {}
+    for shard in (0, 1):
+        random.seed(0)
+        sample_cli.main([
+            "--test_json", str(test_json),
+            "--output_dir", str(out_dir),
+            "--demo", "--steps", "2",
+            "--shard", str(shard), "--num_shards", "2",
+        ])
+        manifest = json.loads((out_dir / f"data.{shard:02d}-of-02.json").read_text())
+        assert manifest, f"shard {shard} produced nothing"
+        ids[shard] = {m["id"] for m in manifest}
+    assert not (ids[0] & ids[1])  # disjoint work
+    # shard prefix of each id is the item index: round-robin split
+    assert all(i.startswith("0_") for i in ids[0])
+    assert all(i.startswith("1_") for i in ids[1])
