@@ -138,3 +138,35 @@ def test_guidance_required_when_embedded(params):
     inp.pop("guidance")
     with pytest.raises(ValueError):
         flux_apply(CFG, params, **inp, attn_impl="xla")
+
+
+def test_capture_activations_matches_plain_forward():
+    """capture_activations returns per-block residual streams without
+    perturbing the output (the activation-diff harness seam, SURVEY §7)."""
+    import jax
+    import jax.numpy as jnp
+
+    from visualcloze_tpu.config import FluxConfig
+    from visualcloze_tpu.models.flux import flux_apply, init_flux
+
+    cfg = FluxConfig().tiny()
+    params = init_flux(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(5)
+    b, l_img, l_txt = 1, 16, 8
+    kwargs = dict(
+        img=jnp.asarray(rng.standard_normal((b, l_img, cfg.in_channels)), jnp.float32),
+        img_ids=jnp.zeros((b, l_img, 3), jnp.float32),
+        txt=jnp.asarray(rng.standard_normal((b, l_txt, cfg.context_in_dim)), jnp.float32),
+        txt_ids=jnp.zeros((b, l_txt, 3), jnp.float32),
+        timesteps=jnp.full((b,), 0.5, jnp.float32),
+        y=jnp.asarray(rng.standard_normal((b, cfg.vec_in_dim)), jnp.float32),
+        guidance=jnp.full((b,), 4.0, jnp.float32),
+    )
+    want = flux_apply(cfg, params, attn_impl="xla", **kwargs)
+    out, acts = flux_apply(cfg, params, attn_impl="xla", capture_activations=True, **kwargs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-6, atol=1e-6)
+    assert acts["double_img"].shape == (cfg.depth, b, l_img, cfg.hidden_size)
+    assert acts["double_txt"].shape == (cfg.depth, b, l_txt, cfg.hidden_size)
+    assert acts["single"].shape == (
+        cfg.depth_single_blocks, b, l_txt + l_img, cfg.hidden_size)
+    np.testing.assert_array_equal(np.asarray(acts["out"]), np.asarray(out))

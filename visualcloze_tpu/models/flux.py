@@ -66,7 +66,8 @@ def flux_apply(
     remat: bool = False,
     remat_policy: str | None = None,
     rope_layout: str = "interleaved",
-) -> jnp.ndarray:
+    capture_activations: bool = False,
+) -> jnp.ndarray | tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
     """Forward pass (ref: models/model.py:85-124).
 
     Args:
@@ -80,8 +81,15 @@ def flux_apply(
       guidance:  (B,) embedded-guidance strength (guidance-distilled model).
       lora:      optional LoRA pytree mirroring `params` (see models/lora.py).
       remat:     checkpoint each block body (training).
+      capture_activations: also return per-block residual-stream activations
+        — the per-layer activation-diff harness for weight-conversion
+        fidelity debugging (SURVEY.md §7 hard parts; scripts/activation_diff.py).
+        Returns (out, {"embed_img", "embed_txt", "vec", "double_img"
+        (depth, B, L_img, H), "double_txt", "single" (depth_s, B, L, H),
+        "out"}). Memory: depth x (B, L, 3072) — use with small/offline runs.
 
-    Returns: (B, L_img, out_channels) velocity tokens.
+    Returns: (B, L_img, out_channels) velocity tokens (or a tuple when
+    capture_activations is set).
     """
     l = lora or {}
     img = layers.linear(params["img_in"], img, l.get("img_in"), lora_scale)
@@ -119,12 +127,12 @@ def flux_apply(
         i, t = layers.double_block(
             cfg, bp, i, t, vec, pe, attn_mask, bl, lora_scale, attn_impl, rope_layout
         )
-        return (i, t), None
+        return (i, t), ((i, t) if capture_activations else None)
 
     def sbody(x, xs):
         bp, bl = xs
         x = layers.single_block(cfg, bp, x, vec, pe, attn_mask, bl, lora_scale, attn_impl, rope_layout)
-        return x, None
+        return x, (x if capture_activations else None)
 
     if remat:
         # remat_policy "dots": keep matmul outputs, recompute elementwise —
@@ -139,15 +147,24 @@ def flux_apply(
 
     d_lora = l["double_blocks"] if has_lora else None
     s_lora = l["single_blocks"] if has_lora else None
-    (img, txt), _ = jax.lax.scan(dbody, (img, txt), (params["double_blocks"], d_lora))
+    acts: dict[str, jnp.ndarray] = {}
+    if capture_activations:
+        acts["embed_img"], acts["embed_txt"], acts["vec"] = img, txt, vec
+    (img, txt), d_ys = jax.lax.scan(dbody, (img, txt), (params["double_blocks"], d_lora))
 
     x = jnp.concatenate([txt, img], axis=1)
-    x, _ = jax.lax.scan(sbody, x, (params["single_blocks"], s_lora))
+    x, s_ys = jax.lax.scan(sbody, x, (params["single_blocks"], s_lora))
     img = x[:, txt_len:]
 
-    return layers.last_layer(
+    out = layers.last_layer(
         params["final_layer"], img, vec, l.get("final_layer"), lora_scale
     )
+    if capture_activations:
+        acts["double_img"], acts["double_txt"] = d_ys
+        acts["single"] = s_ys
+        acts["out"] = out
+        return out, acts
+    return out
 
 
 def flux_apply_cfg(
