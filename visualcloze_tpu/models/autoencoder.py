@@ -36,17 +36,25 @@ def conv2d(p: Params, x: jnp.ndarray, stride: int = 1, padding="SAME") -> jnp.nd
 
 def group_norm(p: Params, x: jnp.ndarray, groups: int | None = None, eps: float = 1e-6) -> jnp.ndarray:
     """Affine GroupNorm over channels, fp32 statistics. 32 groups like the
-    reference (clamped for tiny test configs whose channels < 32)."""
+    reference (clamped for tiny test configs whose channels < 32).
+
+    Stats are taken channel-major: reduce (H, W) per channel first (C stays on
+    the TPU's 128-lane minor dim), then aggregate channels into groups on the
+    tiny (B, C) array. The naive reshape to (B, H, W, G, C/G) puts a 4-wide
+    minor dim on the lanes and runs ~25 GB/s on v5e vs ~800 for this layout."""
     b, h, w, c = x.shape
     if groups is None:
         groups = min(32, c)
-    x32 = x.astype(jnp.float32).reshape(b, h, w, groups, c // groups)
-    mu = x32.mean(axis=(1, 2, 4), keepdims=True)
-    var = jnp.square(x32 - mu).mean(axis=(1, 2, 4), keepdims=True)
-    x32 = (x32 - mu) * jax.lax.rsqrt(var + eps)
-    x32 = x32.reshape(b, h, w, c)
-    y = x32 * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
-    return y.astype(x.dtype)
+    cg = c // groups
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=(1, 2)).reshape(b, groups, cg).mean(-1)  # (B, G)
+    mu_c = jnp.repeat(mu, cg, axis=-1)  # (B, C) group-broadcast
+    var_c = jnp.mean(jnp.square(x32 - mu_c[:, None, None, :]), axis=(1, 2))
+    var = var_c.reshape(b, groups, cg).mean(-1)
+    rsig_c = jnp.repeat(jax.lax.rsqrt(var + eps), cg, axis=-1)  # (B, C)
+    a = rsig_c * p["scale"].astype(jnp.float32)[None]
+    bb = p["bias"].astype(jnp.float32)[None] - mu_c * a
+    return (x32 * a[:, None, None, :] + bb[:, None, None, :]).astype(x.dtype)
 
 
 def swish(x: jnp.ndarray) -> jnp.ndarray:
@@ -63,15 +71,31 @@ def resnet_block(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 def attn_block(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """Single-head spatial self-attention at the bottleneck
-    (ref autoencoder.py:25-52)."""
+    (ref autoencoder.py:25-52).
+
+    On TPU at serving row shapes L = (H/8)(W/8) reaches ~7k, so the einsum
+    path materializes an L^2 fp32 logits matrix (~190 MB) through HBM; route
+    long sequences through the Pallas flash kernel (single head, D = C = 512,
+    block_k shrunk so the fp32 s-tile + D-wide operands fit VMEM). Short
+    (test-size) sequences and CPU keep the einsum oracle. Forward-only: the
+    VAE is frozen in every training mode (SURVEY §2.7)."""
     b, h, w, c = x.shape
     hn = group_norm(p["norm"], x)
     q = conv2d(p["q"], hn).reshape(b, h * w, c)
     k = conv2d(p["k"], hn).reshape(b, h * w, c)
     v = conv2d(p["v"], hn).reshape(b, h * w, c)
-    logits = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(logits * (c ** -0.5), axis=-1)
-    o = jnp.einsum("bqk,bkc->bqc", probs.astype(v.dtype), v).reshape(b, h, w, c)
+    use_flash = h * w >= 2048 and jax.devices()[0].platform == "tpu"
+    if use_flash:
+        from ..ops.flash_attention import _flash_fwd
+
+        o = _flash_fwd(
+            q[:, None], k[:, None], v[:, None], None, block_q=512, block_k=1024
+        )[:, 0]
+    else:
+        logits = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(logits * (c ** -0.5), axis=-1)
+        o = jnp.einsum("bqk,bkc->bqc", probs.astype(v.dtype), v)
+    o = o.reshape(b, h, w, c)
     return x + conv2d(p["proj_out"], o)
 
 
