@@ -147,6 +147,10 @@ def downsample(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 def upsample(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """Nearest-neighbor 2x + conv (ref autoencoder.py:99-107)."""
     x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    if _use_fused(x, p["conv"]["w"]):
+        from ..ops.conv2d import conv3x3_fused
+
+        return conv3x3_fused(x, p["conv"]["w"], p["conv"]["b"], act="none")
     return conv2d(p["conv"], x)
 
 
