@@ -53,6 +53,27 @@ def test_conv3x3_fused_gn_swish_residual():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+def test_conv3x3_fused_column_tiled():
+    """Wide shapes take the 4-spec column-tiled path (right/bottom/corner
+    halos); exact vs the XLA conv including the activation-side pad mask."""
+    from visualcloze_tpu.ops.conv2d import _pick_bw
+
+    B, H, W, C, Co = 1, 8, 1152, 256, 256
+    assert _pick_bw(W, C, Co, 4) is not None  # actually tiles columns
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, C, Co)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((Co,)) * 0.1, jnp.float32)
+    gn = {
+        "scale": jnp.asarray(rng.standard_normal((C,)) * 0.3 + 1, jnp.float32),
+        "bias": jnp.asarray(rng.standard_normal((C,)) * 0.2, jnp.float32),
+    }
+    ref = conv2d({"w": w, "b": b}, swish(group_norm(gn, x)))
+    a, bb = group_norm_affine(gn, x)
+    got = conv3x3_fused(x, w, b, pre_affine=(a, bb), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
 def test_group_norm_matches_torch():
     torch = pytest.importorskip("torch")
     B, H, W, C = 2, 6, 5, 64
@@ -77,5 +98,7 @@ def test_fusable_gate():
     assert fusable(x, w)
     assert not fusable(jnp.zeros((1, 16, 20, 96)), jnp.zeros((3, 3, 96, 128)))
     assert not fusable(jnp.zeros((1, 15, 20, 128)), w)  # odd H
-    # W*C beyond the bh=2 scoped-vmem budget falls back to XLA
-    assert not fusable(jnp.zeros((1, 384, 1152, 256)), jnp.zeros((3, 3, 256, 256)))
+    # W*C beyond the full-width scoped-vmem budget takes the column-tiled path
+    assert fusable(jnp.zeros((1, 384, 1152, 256)), jnp.zeros((3, 3, 256, 256)))
+    # prime W with no 8-multiple divisor >= 128 cannot tile columns
+    assert not fusable(jnp.zeros((1, 8, 1154, 512)), jnp.zeros((3, 3, 512, 512)))

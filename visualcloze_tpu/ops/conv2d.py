@@ -80,6 +80,64 @@ def _kernel(*refs, bh: int, w_out: int, pre: bool, act: str):
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
+def _kernel_wtiled(*refs, bh: int, bw: int, pre: bool, act: str):
+    """Column-tiled variant: assembles the (bh+2, bw+2, C) window from four
+    blocks — main strip, an 8-wide right halo (width-2 blocks are not
+    TPU-legal; only the first 2 columns are used), a 2-row bottom halo and
+    the 8-wide bottom-right corner."""
+    if pre:
+        x_ref, right_ref, bot_ref, cor_ref, w_ref, b_ref, a_ref, off_ref, o_ref = refs
+    else:
+        x_ref, right_ref, bot_ref, cor_ref, w_ref, b_ref, o_ref = refs
+
+    top = jnp.concatenate([x_ref[0], right_ref[0][:, :2]], axis=1)  # (bh, bw+2, C)
+    bottom = jnp.concatenate([bot_ref[0], cor_ref[0][:, :2]], axis=1)  # (2, bw+2, C)
+    xa = jnp.concatenate([top, bottom], axis=0)  # (bh+2, bw+2, C)
+    if pre:
+        x32 = (
+            xa.astype(jnp.float32) * a_ref[0, 0][None, None, :]
+            + off_ref[0, 0][None, None, :]
+        )
+        if act == "swish":
+            x32 = x32 * jax.nn.sigmoid(x32)
+        row = pl.program_id(1) * bh + jax.lax.broadcasted_iota(jnp.int32, x32.shape, 0)
+        col = pl.program_id(2) * bw + jax.lax.broadcasted_iota(jnp.int32, x32.shape, 1)
+        valid = (
+            (row >= 1)
+            & (row <= pl.num_programs(1) * bh)
+            & (col >= 1)
+            & (col <= pl.num_programs(2) * bw)
+        )
+        x32 = jnp.where(valid, x32, 0.0)
+        xa = x32.astype(x_ref.dtype)
+
+    acc = None
+    for dj in range(3):
+        xv = xa[:, dj : dj + bw, :]
+        for di in range(3):
+            y = jax.lax.dot_general(
+                xv[di : di + bh], w_ref[di, dj],
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = y if acc is None else acc + y
+    acc = acc + b_ref[0][None, None, :]
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def _pick_bw(W: int, C: int, Cout: int, bh: int, budget: int = 880_000) -> int | None:
+    """Largest 8-multiple divisor of W whose (bh+2)(bw+2)max(C,Cout) window
+    fits the scoped-vmem budget; None if even the full width fits (single-
+    tile fast path) or no legal tile exists."""
+    maxc = max(C, Cout)
+    if (bh + 2) * (W + 2) * maxc <= budget:
+        return None
+    for bw in range((W // 2) // 8 * 8, 127, -8):
+        if W % bw == 0 and (bh + 2) * (bw + 2) * maxc <= budget:
+            return bw
+    return None
+
+
 def conv3x3_fused(
     x: jnp.ndarray,
     w: jnp.ndarray,
@@ -106,49 +164,93 @@ def conv3x3_fused(
     Cout = w.shape[-1]
     # bh=4 measured fastest where it fits (bh=8 at the 48x144x512 bottleneck
     # is 10% slower; the W*C=147k C=512 level needs bh=2 in model context —
-    # 16.44M scoped-vmem at bh=4, 452K over the limit).
+    # 16.44M scoped-vmem at bh=4, 452K over the limit). Widths whose full-row
+    # strip exceeds the budget tile the column dim too (_pick_bw).
     bh = block_h
-    while H % bh or bh % 2 or (bh + 2) * (W + 2) * max(C, Cout) > 880_000:
+    while H % bh or bh % 2:
         bh //= 2
+    bw = _pick_bw(W, C, Cout, bh)
+    while bw is None and (bh + 2) * (W + 2) * max(C, Cout) > 880_000:
+        bh //= 2
+        if bh < 2:
+            raise ValueError(f"shape {x.shape}->{Cout} not tileable")
+        bw = _pick_bw(W, C, Cout, bh)
     if bh < 2:
         raise ValueError(f"H={H} not tileable")
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))  # (B, H+2, W+2, C)
 
     pre = pre_affine is not None
-    main_spec = pl.BlockSpec((1, bh, W + 2, C), lambda b_, r: (b_, r, 0, 0))
-    halo_spec = pl.BlockSpec(
-        (1, 2, W + 2, C), lambda b_, r, bh=bh: (b_, (r + 1) * (bh // 2), 0, 0)
+    cost = pl.CostEstimate(
+        flops=2 * B * H * W * C * Cout * 9,
+        bytes_accessed=(B * H * W * (C + Cout) + 9 * C * Cout) * x.dtype.itemsize,
+        transcendentals=B * H * W * C if pre else 0,
     )
-    in_specs = [
-        main_spec,
-        halo_spec,
-        pl.BlockSpec((3, 3, C, Cout), lambda b_, r: (0, 0, 0, 0)),
-        pl.BlockSpec((1, Cout), lambda b_, r: (0, 0)),
-    ]
-    operands = [xp, xp, w, b.reshape(1, Cout).astype(jnp.float32)]
+    bias_op = b.reshape(1, Cout).astype(jnp.float32)
     if pre:
         a, b0 = pre_affine
         # (B, 1, C) so the block's last two dims (1, C) match the array's
         # (TPU lowering requires (8k, 128k) or dim-equal trailing blocks)
-        aff_spec = pl.BlockSpec((1, 1, C), lambda b_, r: (b_, 0, 0))
-        in_specs += [aff_spec, aff_spec]
-        operands += [
+        aff_ops = [
             a.reshape(B, 1, C).astype(jnp.float32),
             b0.reshape(B, 1, C).astype(jnp.float32),
         ]
-    out = pl.pallas_call(
-        functools.partial(_kernel, bh=bh, w_out=W, pre=pre, act=act),
-        grid=(B, H // bh),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, bh, W, Cout), lambda b_, r: (b_, r, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * H * W * C * Cout * 9,
-            bytes_accessed=(B * H * W * (C + Cout) + 9 * C * Cout) * x.dtype.itemsize,
-            transcendentals=B * H * W * C if pre else 0,
-        ),
-        interpret=interpret,
-    )(*operands)
+
+    if bw is None:
+        main_spec = pl.BlockSpec((1, bh, W + 2, C), lambda b_, r: (b_, r, 0, 0))
+        halo_spec = pl.BlockSpec(
+            (1, 2, W + 2, C), lambda b_, r, bh=bh: (b_, (r + 1) * (bh // 2), 0, 0)
+        )
+        in_specs = [
+            main_spec,
+            halo_spec,
+            pl.BlockSpec((3, 3, C, Cout), lambda b_, r: (0, 0, 0, 0)),
+            pl.BlockSpec((1, Cout), lambda b_, r: (0, 0)),
+        ]
+        operands = [xp, xp, w, bias_op]
+        if pre:
+            aff_spec = pl.BlockSpec((1, 1, C), lambda b_, r: (b_, 0, 0))
+            in_specs += [aff_spec, aff_spec]
+            operands += aff_ops
+        out = pl.pallas_call(
+            functools.partial(_kernel, bh=bh, w_out=W, pre=pre, act=act),
+            grid=(B, H // bh),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, bh, W, Cout), lambda b_, r: (b_, r, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(*operands)
+    else:
+        hh, ww = bh // 2, bw // 8
+        in_specs = [
+            pl.BlockSpec((1, bh, bw, C), lambda b_, r, c_: (b_, r, c_, 0)),
+            pl.BlockSpec(  # right halo: 8 wide (width 2 is not TPU-legal)
+                (1, bh, 8, C), lambda b_, r, c_, ww=ww: (b_, r, (c_ + 1) * ww, 0)
+            ),
+            pl.BlockSpec(
+                (1, 2, bw, C), lambda b_, r, c_, hh=hh: (b_, (r + 1) * hh, c_, 0)
+            ),
+            pl.BlockSpec(
+                (1, 2, 8, C),
+                lambda b_, r, c_, hh=hh, ww=ww: (b_, (r + 1) * hh, (c_ + 1) * ww, 0),
+            ),
+            pl.BlockSpec((3, 3, C, Cout), lambda b_, r, c_: (0, 0, 0, 0)),
+            pl.BlockSpec((1, Cout), lambda b_, r, c_: (0, 0)),
+        ]
+        operands = [xp, xp, xp, xp, w, bias_op]
+        if pre:
+            aff_spec = pl.BlockSpec((1, 1, C), lambda b_, r, c_: (b_, 0, 0))
+            in_specs += [aff_spec, aff_spec]
+            operands += aff_ops
+        out = pl.pallas_call(
+            functools.partial(_kernel_wtiled, bh=bh, bw=bw, pre=pre, act=act),
+            grid=(B, H // bh, W // bw),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, bh, bw, Cout), lambda b_, r, c_: (b_, r, c_, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(*operands)
     if residual is not None:
         # added outside the kernel: a residual block operand costs 2x its
         # size in double-buffered VMEM (blew the 16 MB scoped budget at the
@@ -159,12 +261,13 @@ def conv3x3_fused(
 
 def fusable(x: jnp.ndarray, w: jnp.ndarray) -> bool:
     """Shapes the kernel handles: 128-multiple channels, tileable H, and a
-    minimum (bh=2) strip fitting the scoped-vmem budget."""
+    (bh=2) strip — full-width or column-tiled — fitting the scoped-vmem
+    budget."""
     B, H, W, C = x.shape
+    Cout = w.shape[-1]
+    if not (C % 128 == 0 and Cout % 128 == 0 and tuple(w.shape[:2]) == (3, 3) and H % 2 == 0):
+        return False
     return (
-        C % 128 == 0
-        and w.shape[-1] % 128 == 0
-        and tuple(w.shape[:2]) == (3, 3)
-        and H % 2 == 0
-        and 4 * (W + 2) * max(C, w.shape[-1]) <= 880_000
+        4 * (W + 2) * max(C, Cout) <= 880_000
+        or _pick_bw(W, C, Cout, 2) is not None
     )
