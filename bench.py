@@ -130,21 +130,22 @@ def vae_flops(cfg, h: int, w: int) -> float:
 
 # ----------------------------- inputs -----------------------------
 
-def make_inputs(cfg):
+def make_inputs(cfg, l_img: int = L_IMG, l_img_pad: int | None = None, l_txt: int = L_TXT):
     rng = np.random.default_rng(0)
     b = 1
-    img_ids = np.zeros((b, L_IMG_PAD, 3), np.float32)
-    img_ids[:, :L_IMG, 0] = np.repeat([1, 2], L_IMG // 2)
-    img_ids[:, :L_IMG, 1] = np.tile(np.arange(L_IMG // 2) // 72, 2)
-    img_ids[:, :L_IMG, 2] = np.tile(np.arange(L_IMG // 2) % 72, 2)
-    img_mask = np.zeros((b, L_IMG_PAD), np.int32)
-    img_mask[:, :L_IMG] = 1
-    full = L_IMG_PAD == L_IMG
+    l_pad = l_img if l_img_pad is None else l_img_pad
+    img_ids = np.zeros((b, l_pad, 3), np.float32)
+    img_ids[:, :l_img, 0] = np.repeat([1, 2], l_img // 2)
+    img_ids[:, :l_img, 1] = np.tile(np.arange(l_img // 2) // 72, 2)
+    img_ids[:, :l_img, 2] = np.tile(np.arange(l_img // 2) % 72, 2)
+    img_mask = np.zeros((b, l_pad), np.int32)
+    img_mask[:, :l_img] = 1
+    full = l_pad == l_img
     return dict(
-        x=jnp.asarray(rng.standard_normal((b, L_IMG_PAD, 64)), jnp.bfloat16),
-        cond=jnp.asarray(rng.standard_normal((b, L_IMG_PAD, 320)), jnp.bfloat16),
-        txt=jnp.asarray(rng.standard_normal((b, L_TXT, cfg.context_in_dim)), jnp.bfloat16),
-        txt_ids=jnp.zeros((b, L_TXT, 3), jnp.float32),
+        x=jnp.asarray(rng.standard_normal((b, l_pad, 64)), jnp.bfloat16),
+        cond=jnp.asarray(rng.standard_normal((b, l_pad, 320)), jnp.bfloat16),
+        txt=jnp.asarray(rng.standard_normal((b, l_txt, cfg.context_in_dim)), jnp.bfloat16),
+        txt_ids=jnp.zeros((b, l_txt, 3), jnp.float32),
         vec=jnp.asarray(rng.standard_normal((b, cfg.vec_in_dim)), jnp.bfloat16),
         guidance=jnp.full((b,), 30.0, jnp.bfloat16),
         ids=jnp.asarray(img_ids),
@@ -228,6 +229,54 @@ def bench_vae() -> float:
     return p50
 
 
+def bench_stage2() -> None:
+    """Phase U: SDEdit upsampling-stage shapes (ref visualcloze.py:247-318;
+    SURVEY §3.3) — 1024^2 VAE decode + DiT slice per-step at the stage-2
+    sequence (64x64 latent patches = 4096 tokens + 512 txt). Reported on
+    stderr only; the JSON headline stays the 384-grid stage-1 query."""
+    from visualcloze_tpu.config import AutoEncoderConfig, FluxConfig
+    from visualcloze_tpu.models.autoencoder import decoder_apply, init_autoencoder
+    from visualcloze_tpu.models.flux import init_flux
+    from visualcloze_tpu.models.weights import permute_rope_layout
+    from visualcloze_tpu.ops.schedule import ode_timesteps
+
+    STEPS2, L2 = 10, 4096
+    cfg = AutoEncoderConfig()
+    print("U) stage-2: compiling...", file=sys.stderr)
+    params = init_autoencoder(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    z = jnp.asarray(
+        np.random.default_rng(4).standard_normal((1, 128, 128, cfg.z_channels)),
+        jnp.bfloat16,
+    )
+    dec = jax.jit(lambda p, zz: decoder_apply(cfg, p["decoder"], zz))
+    _sync(dec(params, z))
+    t_dec = _time3(dec, params, z)
+    del params, dec
+    _free()
+
+    full_cfg = FluxConfig()
+    fcfg = dataclasses.replace(
+        full_cfg, depth=BENCH_DEPTH, depth_single_blocks=BENCH_DEPTH_SINGLE
+    )
+    fparams = permute_rope_layout(init_flux(jax.random.PRNGKey(0), fcfg, jnp.bfloat16), fcfg)
+    inp = make_inputs(fcfg, l_img=L2)
+    ts2 = jnp.asarray(ode_timesteps(STEPS2 + 1, L2, do_shift=True))
+    run = jax.jit(make_run(fcfg, inp))
+    _sync(run(fparams, inp["x"], ts2))
+    p50 = _time3(run, fparams, inp["x"], ts2)
+    bench_fl = dit_flops(fcfg, L2, L_TXT)
+    mfu = bench_fl / (p50 / STEPS2) / V5E_PEAK_BF16
+    extrap = p50 * dit_flops(full_cfg, L2, L_TXT) / bench_fl
+    print(
+        f"U) stage-2 1024^2: VAE decode {t_dec * 1e3:.0f} ms; DiT slice "
+        f"{p50 / STEPS2 * 1e3:.1f} ms/step (MFU {mfu:.1%}); est. 10-step "
+        f"12B bf16 upsampling {extrap + t_dec:.2f}s",
+        file=sys.stderr,
+    )
+    del fparams, run, inp
+    _free()
+
+
 def bench_bf16_slice(ts) -> dict:
     from visualcloze_tpu.config import FluxConfig
     from visualcloze_tpu.models.flux import init_flux
@@ -307,6 +356,8 @@ def main() -> None:
     ts = jnp.asarray(ode_timesteps(STEPS + 1, L_IMG, do_shift=True))
     t_text = bench_text_encoders()
     t_vae = bench_vae()
+    if os.environ.get("BENCH_STAGE2", "0") == "1":
+        bench_stage2()  # opt-in: ~8 min cold compile (1024^2 conv variants)
     slice_res = bench_bf16_slice(ts)
     int8_p50 = bench_int8_full(ts)
 
