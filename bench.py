@@ -133,7 +133,10 @@ def vae_flops(cfg, h: int, w: int) -> float:
 def make_inputs(cfg, l_img: int = L_IMG, l_img_pad: int | None = None, l_txt: int = L_TXT):
     rng = np.random.default_rng(0)
     b = 1
-    l_pad = l_img if l_img_pad is None else l_img_pad
+    if l_img_pad is None:
+        # the flagship length keeps its module-level bucketing knob
+        l_img_pad = L_IMG_PAD if l_img == L_IMG else l_img
+    l_pad = l_img_pad
     img_ids = np.zeros((b, l_pad, 3), np.float32)
     img_ids[:, :l_img, 0] = np.repeat([1, 2], l_img // 2)
     img_ids[:, :l_img, 1] = np.tile(np.arange(l_img // 2) // 72, 2)

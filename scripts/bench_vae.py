@@ -27,10 +27,9 @@ V5E_PEAK_BF16 = 197e12
 INNER = 8
 
 
-def chain(call, template):
-    """Loop `call` INNER times in one program; re-inject a slice of the output
-    into the input so XLA cannot elide iterations. `template` gives the input
-    array; call: x -> y (any shape)."""
+def chain(call):
+    """Loop `call` INNER times in one program; re-inject a scalar of the
+    output into the input so XLA cannot elide iterations."""
 
     def run(x):
         def body(xc, _):
@@ -81,7 +80,6 @@ def main():
         for c in reversed(chans):
             levels.append((h, w, c))
             h, w = h * 2, w * 2
-        levels.append((args.h, args.w, chans[0]))
         for h, w, c in levels:
             x = jnp.asarray(rng.standard_normal((args.rows, h, w, c)), jnp.bfloat16)
             wt = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.02, jnp.bfloat16)
@@ -91,14 +89,14 @@ def main():
                     xc, wt, (1, 1), "SAME",
                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
-            t = measure(chain(call, x), x)
+            t = measure(chain(call), x)
             fl = args.rows * conv_flops(h, w, c, c)
             print(f"conv3x3 {args.rows}x{h}x{w}x{c}: {t*1e3:7.2f} ms  "
                   f"{fl/t/1e12:6.1f} TF/s  {fl/t/V5E_PEAK_BF16*100:5.1f}% MFU")
 
             # groupnorm at the same shape
             gp = {"scale": jnp.ones((c,), jnp.bfloat16), "bias": jnp.zeros((c,), jnp.bfloat16)}
-            t = measure(chain(lambda xc, gp=gp: ae.group_norm(gp, xc), x), x)
+            t = measure(chain(lambda xc, gp=gp: ae.group_norm(gp, xc)), x)
             gb = 2 * args.rows * h * w * c * 2 / 1e9  # bf16 read+write
             print(f"  groupnorm: {t*1e3:7.2f} ms  {gb/t:6.0f} GB/s eff")
         return
@@ -110,8 +108,8 @@ def main():
         rng.standard_normal((args.rows, args.h // 8, args.w // 8, cfg.z_channels)),
         jnp.bfloat16)
 
-    enc = chain(lambda x: ae.encoder_apply(cfg, params["encoder"], x)[..., :3], rows)
-    dec = chain(lambda zc: ae.decoder_apply(cfg, params["decoder"], zc)[:, ::8, ::8, :], z)
+    enc = chain(lambda x: ae.encoder_apply(cfg, params["encoder"], x)[..., :3])
+    dec = chain(lambda zc: ae.decoder_apply(cfg, params["decoder"], zc)[:, ::8, ::8, :])
 
     t_enc = measure(enc, rows)
     t_dec = measure(dec, z)

@@ -88,7 +88,7 @@ def _gn_swish_conv(
     On TPU at fusable shapes this is one Pallas kernel (ops/conv2d.py) — the
     norm's normalize/affine and the swish are applied on the conv's VMEM input
     tiles instead of separate HBM round trips, and the conv's 9 taps run as
-    MXU matmuls (VAE encoder 118->53 ms, decoder 213->114 ms on v5e at the
+    MXU matmuls (VAE encoder 118->53 ms, decoder 213->111 ms on v5e at the
     2x384x1152 serving rows vs the unfused XLA path)."""
     if _use_fused(x, conv_p["w"]):
         from ..ops.conv2d import conv3x3_fused

@@ -13,8 +13,8 @@ applied in fp32 on the loaded tile, and the 9 shifted (bh*W, C) @ (C, Cout)
 MXU matmuls accumulate in fp32 registers. Replaces the reference's
 torch GroupNorm->SiLU->Conv2d chains (ref models/modules/autoencoder.py:
 55-83) with a single fused op. Measured v5e at the serving row shape
-(2x384x1152): encoder 118->53 ms, decoder 213->114 ms vs the XLA conv path
-(35.6% / 40.2% model-level MFU vs ~17%).
+(2x384x1152): encoder 118->53 ms, decoder 213->111 ms vs the XLA conv path
+(35.6% / 41.1% model-level MFU vs ~17%).
 
 Grid layout: (B, H/bh) row strips. SAME padding is pre-applied on the host
 side of the call (one cheap XLA pad); each step reads its strip plus a
@@ -33,6 +33,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 DEFAULT_BLOCK_H = 4  # bh=8 at W*C=147k blows the 16 MB scoped-vmem limit (double-buffered blocks + fp32 acc)
+# per-step window budget in elements: (bh+2)(W+2)max(C,Cout) must stay under
+# this for the 16 MB scoped-vmem limit (measured incl. the fp32 activation
+# temp and double-buffered blocks). Shared by the kernel's bh reduction,
+# _pick_bw and the fusable() gate so they can never disagree.
+VMEM_BUDGET = 880_000
 
 
 def _kernel(*refs, bh: int, w_out: int, pre: bool, act: str):
@@ -125,7 +130,7 @@ def _kernel_wtiled(*refs, bh: int, bw: int, pre: bool, act: str):
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
-def _pick_bw(W: int, C: int, Cout: int, bh: int, budget: int = 880_000) -> int | None:
+def _pick_bw(W: int, C: int, Cout: int, bh: int, budget: int = VMEM_BUDGET) -> int | None:
     """Largest 8-multiple divisor of W whose (bh+2)(bw+2)max(C,Cout) window
     fits the scoped-vmem budget; None if even the full width fits (single-
     tile fast path) or no legal tile exists."""
@@ -162,21 +167,24 @@ def conv3x3_fused(
     """
     B, H, W, C = x.shape
     Cout = w.shape[-1]
+    if pre_affine is None and act != "none":
+        raise ValueError("act is applied to the pre_affine transform; pass "
+                         "act='none' for a plain conv")
     # bh=4 measured fastest where it fits (bh=8 at the 48x144x512 bottleneck
     # is 10% slower; the W*C=147k C=512 level needs bh=2 in model context —
     # 16.44M scoped-vmem at bh=4, 452K over the limit). Widths whose full-row
     # strip exceeds the budget tile the column dim too (_pick_bw).
     bh = block_h
-    while H % bh or bh % 2:
+    while bh > 1 and H % bh:
         bh //= 2
+    if bh < 2 or bh % 2:
+        raise ValueError(f"H={H} not tileable (needs an even strip height)")
     bw = _pick_bw(W, C, Cout, bh)
-    while bw is None and (bh + 2) * (W + 2) * max(C, Cout) > 880_000:
+    while bw is None and (bh + 2) * (W + 2) * max(C, Cout) > VMEM_BUDGET:
         bh //= 2
         if bh < 2:
             raise ValueError(f"shape {x.shape}->{Cout} not tileable")
         bw = _pick_bw(W, C, Cout, bh)
-    if bh < 2:
-        raise ValueError(f"H={H} not tileable")
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))  # (B, H+2, W+2, C)
 
     pre = pre_affine is not None
