@@ -294,6 +294,39 @@ def test_flash_attention_interpret_matches_xla():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
 
 
+def test_flash_attention_fastmax_interpret():
+    """fastmax (Cauchy-Schwarz stabilizer instead of the exact row max) is
+    exact up to fp32 underflow headroom — including multi-k-block online
+    rescaling and the padding bias."""
+    from visualcloze_tpu.ops import flash_attention as fa
+
+    rng = np.random.default_rng(11)
+    b, h, L, d = 1, 2, 256, 32
+    q = rng.standard_normal((b, h, L, d)).astype(np.float32)
+    k = rng.standard_normal((b, h, L, d)).astype(np.float32)
+    v = rng.standard_normal((b, h, L, d)).astype(np.float32)
+    mask = np.ones((b, L), np.int32)
+    mask[0, 230:] = 0
+    bias = mask_to_bias(jnp.asarray(mask))
+
+    import unittest.mock as um
+
+    orig = fa.pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        kwargs.pop("compiler_params", None)
+        return orig(*args, **kwargs)
+
+    with um.patch.object(fa.pl, "pallas_call", interp_call):
+        got = fa._flash_fwd(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), bias,
+            block_q=128, block_k=64, fastmax=True,
+        )
+    want = mha_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
+
+
 def test_flash_backward_interpret_matches_xla_grads():
     """Fused Pallas backward (interpret mode) vs XLA attention gradients."""
     import unittest.mock as um

@@ -49,14 +49,24 @@ NEG_INF = -1e30
 LOG2E = 1.4426950408889634
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref, *, scale):
+def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref, *, scale,
+                  fastmax: bool = False):
     """Online-softmax step in log2 space: the softmax scale (and the 1/ln2
     base change) is folded into q once per (BQ, D) block, so the only
     (BQ, BK)-sized elementwise work per step is one add (bias), one max, one
     exp2 and one sum — exp2 has a fast VPU path while exp(x) lowers to extra
     multiplies on the big tile. The kernel is VPU-bound at head_dim 128
     (matmuls alone run at 85% MFU), so every big-tile pass counts; the
-    bias add is skipped entirely in the no-padding variant below."""
+    bias add is skipped entirely in the no-padding variant below.
+
+    fastmax replaces the exact row-max pass over the (BQ, BK) fp32 s tile
+    with the Cauchy-Schwarz bound ||q_row|| * max_k ||k_col|| computed on the
+    tiny (BQ, D)/(BK, D) operands. Any per-row stabilizer >= rowmax(s) keeps
+    the log-sum-exp algebra EXACT (p and l rescale together; m cancels in
+    acc/l and in lse = m + log2 l), so the only approximation is fp32
+    underflow of 2^(s - bound): the bound's slack is log2(||q||*||k||max /
+    max_k q.k) — a few log2 units statistically vs fp32's ~126 of headroom.
+    The additive key bias is <= 0 (padding mask), so the bound stays valid."""
     ik = pl.program_id(3)
     nk = pl.num_programs(3)
 
@@ -66,7 +76,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref, *
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = (q_ref[0, 0].astype(jnp.float32) * (scale * LOG2E)).astype(q_ref.dtype)  # (BQ, D)
+    q32 = q_ref[0, 0].astype(jnp.float32) * (scale * LOG2E)
+    q = q32.astype(q_ref.dtype)  # (BQ, D)
     k = k_ref[0, 0]  # (BK, D)
     v = v_ref[0, 0]  # (BK, D)
     s = jax.lax.dot_general(
@@ -76,7 +87,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref, *
         s = s + bias_ref[0, 0][None, :]  # key-padding bias (pre-scaled to log2)
 
     m_prev = m_ref[:, 0]  # (BQ,)
-    m_cur = jnp.max(s, axis=-1)  # (BQ,)
+    if fastmax:
+        k32 = k.astype(jnp.float32)
+        qn = jnp.sqrt(jnp.sum(q32 * q32, axis=-1))  # (BQ,) — scaled-q norms
+        kn = jnp.sqrt(jnp.max(jnp.sum(k32 * k32, axis=-1)))  # scalar
+        m_cur = qn * kn  # >= rowmax(s); skips a full pass over the s tile
+    else:
+        m_cur = jnp.max(s, axis=-1)  # (BQ,)
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp2(m_prev - m_new)  # (BQ,)
     p = jnp.exp2(s - m_new[:, None])  # (BQ, BK) fp32
@@ -95,8 +112,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref, *
         o_ref[0, 0] = (acc_ref[:] / l[:, None]).astype(o_ref.dtype)
 
 
-def _flash_kernel_nobias(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale):
-    _flash_kernel(q_ref, k_ref, v_ref, None, o_ref, m_ref, l_ref, acc_ref, scale=scale)
+def _flash_kernel_nobias(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale,
+                         fastmax: bool = False):
+    _flash_kernel(q_ref, k_ref, v_ref, None, o_ref, m_ref, l_ref, acc_ref, scale=scale,
+                  fastmax=fastmax)
 
 
 def _pick_block(length: int, preferred: int) -> int:
@@ -132,6 +151,7 @@ def _flash_fwd(
     bias: jnp.ndarray | None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
+    fastmax: bool = False,
 ) -> jnp.ndarray:
     b, h, lq, d = q.shape
     lk = k.shape[2]
@@ -167,9 +187,9 @@ def _flash_fwd(
         bias = (bias.astype(jnp.float32) * LOG2E)[:, None, :]
         in_specs.append(pl.BlockSpec((1, 1, bk), lambda b_, h_, iq, ik: (b_, 0, ik)))
         operands.append(bias)
-        kernel = functools.partial(_flash_kernel, scale=d ** -0.5)
+        kernel = functools.partial(_flash_kernel, scale=d ** -0.5, fastmax=fastmax)
     else:
-        kernel = functools.partial(_flash_kernel_nobias, scale=d ** -0.5)
+        kernel = functools.partial(_flash_kernel_nobias, scale=d ** -0.5, fastmax=fastmax)
 
     out = pl.pallas_call(
         kernel,
