@@ -103,6 +103,24 @@ def test_grad_accumulation_equivalence(setup):
     assert d_big > 0 and d_micro > 0
 
 
+def test_remat_policies_agree(setup):
+    """dots / full remat compute identical losses — the policy only changes
+    what is saved vs recomputed."""
+    params, lora, transport = setup
+    opt = make_optimizer(lr=1e-3)
+    batch = make_batch()
+    key = jax.random.PRNGKey(5)
+    losses = []
+    for policy in (None, "dots"):
+        state = init_train_state(params, lora, opt, "lora")
+        step = make_train_step(
+            CFG, transport, opt, "lora", remat=True, remat_policy=policy
+        )
+        st, metrics = step(state, batch, key)
+        losses.append(float(metrics["loss"]))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+
+
 def test_ema_updates(setup):
     params, lora, transport = setup
     opt = make_optimizer(lr=1e-2)

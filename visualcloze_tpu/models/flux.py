@@ -137,7 +137,11 @@ def flux_apply(
     if remat:
         # remat_policy "dots": keep matmul outputs, recompute elementwise —
         # ~25% less backward compute than full recompute for more activation
-        # memory; None matches the reference's full checkpoint_wrapper
+        # memory; None matches the reference's full checkpoint_wrapper.
+        # (A "save attention outputs too" policy was tried and measured flat:
+        # the flash custom_vjp's residuals (o, lse) are internal to the vjp
+        # and not policy-addressable, so its forward recompute runs either
+        # way — see docs/PROFILE.md.)
         policy = (
             jax.checkpoint_policies.dots_with_no_batch_dims_saveable
             if remat_policy == "dots" else None
