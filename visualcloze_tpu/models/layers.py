@@ -86,11 +86,13 @@ def linear(p: Params, x: jnp.ndarray, lora: Params | None = None, lora_scale=1.0
         x = x.astype(jnp.bfloat16)
         # XLA's fused convert-dot beats the hand-written Pallas int8 kernel
         # here (measured 80% vs 61% MFU — ops/int8_matmul.py remains as a
-        # layout-agnostic alternative). The barrier pins the int8->bf16
-        # convert inside the (denoise) loop body: without it XLA hoists the
-        # loop-invariant converts and materializes the whole bf16 model
-        # (OOM on a 16 GB chip).
-        w_bf16 = jax.lax.optimization_barrier(p["w_int8"].astype(jnp.bfloat16))
+        # layout-agnostic alternative). The barrier sits on the INT8 value:
+        # it pins the weight load inside the (denoise) loop body — without
+        # it XLA hoists the loop-invariant converts and materializes the
+        # whole bf16 model (OOM on a 16 GB chip) — while leaving the
+        # convert free to fuse into the matmul's weight-tile loads
+        # (barrier-after-convert forced a materialized bf16 copy instead).
+        w_bf16 = jax.lax.optimization_barrier(p["w_int8"]).astype(jnp.bfloat16)
         y = jnp.einsum("...i,io->...o", x, w_bf16)
         y = y * p["w_scale"].astype(y.dtype)
     else:
