@@ -4,6 +4,12 @@ Measures fwd MFU at the serving shape over block-size / precision variants:
   python scripts/bench_attention.py [--bwd]
 
 Attention MFU accounting: 4*B*H*L^2*D FLOPs per forward call.
+
+CAVEAT (docs/PROFILE.md): the chained-call methodology UNDERESTIMATES the
+kernel — the output->input feedback serializes the Pallas block-DMA pipeline
+between calls (38-39% MFU here vs 71% measured in the real model by device
+trace). Use these numbers to compare variants A/B, not as absolute MFU; for
+absolute numbers, trace the model and read per-op device durations.
 """
 
 from __future__ import annotations
