@@ -68,9 +68,10 @@ def _kernel(*refs, bh: int, w_out: int, pre: bool, act: str):
 
     # One sublane shift per dj (cheap vector rotate on the (W, C) tile dims);
     # the di row slices index the untiled leading dim and are free views.
-    # (K-packing the three dj shifts into one K=3C matmul does not lower:
-    # mosaic cannot concatenate lane-dim vectors with distinct sublane
-    # offsets.)
+    # (K-packing variants were tried and rejected: packing the dj shifts into
+    # K=3C does not lower — mosaic cannot concatenate lane-dim vectors with
+    # distinct sublane offsets — and packing the di row views (same offsets,
+    # legal) measured flat, so the 9-matmul form is not issue-bound.)
     acc = None
     for dj in range(3):
         xv = xa[:, dj : dj + w_out, :]  # (bh+2, W, C)
