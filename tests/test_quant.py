@@ -122,3 +122,39 @@ def test_quantized_tree_shards_over_mesh():
     assert shard != qkv["w_int8"].shape  # actually split, not replicated
     scale_shard = qkv["w_scale"].sharding.shard_shape(qkv["w_scale"].shape)
     assert scale_shard[-1] == qkv["w_scale"].shape[-1] // 2  # tp on out-dim
+
+
+def test_int4_roundtrip_error_bound():
+    """Group-wise int4: per-element error <= scale/2 = group absmax / 14."""
+    from visualcloze_tpu.models.quant import dequant_weight_int4, quantize_weight_int4
+
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.standard_normal((2, 256, 64)), jnp.float32)  # stacked
+    entry = quantize_weight_int4(w, group=128)
+    assert entry["w_int4"].shape == (2, 128, 64)
+    assert entry["w_scale"].shape == (2, 2, 64)
+    back = dequant_weight_int4(entry, jnp.float32)
+    err = np.abs(np.asarray(back) - np.asarray(w))
+    gmax = np.abs(np.asarray(w)).reshape(2, 2, 128, 64).max(axis=2)
+    bound = (gmax / 13.9 + 1e-6)[:, :, None, :].repeat(128, axis=2).reshape(2, 256, 64)
+    assert (err <= bound).all()
+
+
+def test_t5_encode_int4():
+    """t5_encode runs with int4 block weights and stays close to the fp
+    baseline (frozen encoder; capacity-motivated quantization)."""
+    from visualcloze_tpu.config import T5Config
+    from visualcloze_tpu.models.quant import quantize_t5_int4
+    from visualcloze_tpu.models.t5 import init_t5, t5_encode
+
+    cfg = T5Config().tiny()
+    params = init_t5(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    ids = jnp.asarray(np.random.default_rng(1).integers(0, cfg.vocab_size, (2, 12)))
+    ref = np.asarray(t5_encode(cfg, params, ids))
+    got = np.asarray(t5_encode(cfg, quantize_t5_int4(params), ids))
+    assert got.shape == ref.shape and np.isfinite(got).all()
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    # random gaussian weights are the quantization worst case (no structure;
+    # ~4% noise per matmul compounds across layers) — real-weight quality is
+    # a round-3 gate alongside the PSNR check (docs/ROADMAP.md)
+    assert rel < 0.3, rel

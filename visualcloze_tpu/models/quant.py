@@ -134,3 +134,72 @@ def init_flux_int8(key: jax.Array, cfg, seed_scale: float = 0.02) -> Params:
             "out_layer": rand_qlin(ks[6], h, h),
         }
     return params
+
+
+# ----------------------------- int4 (T5 capacity) -----------------------------
+#
+# Weight-only int4 with group-wise scales, for the frozen T5-XXL encoder:
+# bf16 T5 (9.5 GB) cannot co-reside with the int8 12B DiT (12.1 GB) on a
+# 16 GB chip, but int4 T5 (2.4 GB) + int8 DiT + VAE + CLIP fits — collapsing
+# the disaggregated two-chip serving topology to ONE chip. T5 runs once per
+# query, so the unpack cost is irrelevant (the encoder is 69 ms of a ~14 s
+# query); only capacity matters. Codes are symmetric [-8, 7] with a fp32
+# scale per (128-row input group, output channel); two codes pack per uint8
+# along the input dim.
+
+INT4_GROUP = 128
+
+
+def quantize_weight_int4(w: jnp.ndarray, group: int = INT4_GROUP) -> Params:
+    """w (..., in, out) -> {"w_int4": (..., in/2, out) uint8,
+    "w_scale": (..., in/group, out) fp32}. `group` shrinks to divide small
+    (test-size) input dims."""
+    *lead, din, dout = w.shape
+    while din % group or group % 2:
+        group //= 2
+    assert group >= 2, (w.shape, group)
+    wf = w.astype(jnp.float32).reshape(*lead, din // group, group, dout)
+    absmax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(wf / scale), -8, 7).astype(jnp.int8)
+    q = q.reshape(*lead, din, dout)
+    lo = q[..., 0::2, :].astype(jnp.uint8) & 0xF
+    hi = q[..., 1::2, :].astype(jnp.uint8) & 0xF
+    return {
+        "w_int4": (hi << 4) | lo,
+        "w_scale": scale[..., 0, :].reshape(*lead, din // group, dout),
+    }
+
+
+def dequant_weight_int4(entry: Params, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Unpack {"w_int4", "w_scale"} back to (..., in, out) in `dtype`."""
+    p8 = entry["w_int4"]
+    scale = entry["w_scale"]
+    lo = ((p8 & 0xF).astype(jnp.int8) ^ 8) - 8  # sign-extend nibble
+    hi = ((p8 >> 4).astype(jnp.int8) ^ 8) - 8
+    q = jnp.stack([lo, hi], axis=-2)  # (..., in/2, 2, out)
+    *lead, half, _, dout = q.shape
+    din = half * 2
+    gin = scale.shape[-2]
+    wf = q.reshape(*lead, gin, din // gin, dout).astype(jnp.float32)
+    wf = wf * scale[..., :, None, :]
+    return wf.reshape(*lead, din, dout).astype(dtype)
+
+
+def quantize_t5_int4(params: Params, group: int = INT4_GROUP) -> Params:
+    """int4-quantize the T5 block matmul weights (stacked (L, in, out)
+    leaves); the embedding, norms, and relative bias keep their dtype.
+    models/t5.t5_encode dequantizes per block inside its scan, so peak HBM is
+    the int4 tree + one block's bf16 weights (~390 MB for T5-XXL)."""
+    out = dict(params)
+    blocks = dict(params["blocks"])
+    attn = dict(blocks["attn"])
+    ffn = dict(blocks["ffn"])
+    for k in ("q", "k", "v", "o"):
+        attn[k] = quantize_weight_int4(attn[k], group)
+    for k in ("wi_0", "wi_1", "wo"):
+        ffn[k] = quantize_weight_int4(ffn[k], group)
+    blocks["attn"] = attn
+    blocks["ffn"] = ffn
+    out["blocks"] = blocks
+    return out

@@ -66,6 +66,17 @@ def position_bias_table(cfg: T5Config, seq_len: int) -> np.ndarray:
     )
 
 
+def _w(entry, dtype) -> jnp.ndarray:
+    """Weight access: raw array or an int4 dict (models/quant.py) — the
+    dequant happens per block inside t5_encode's scan, so a quantized
+    T5-XXL peaks at the 2.4 GB int4 tree + one block's bf16 (~390 MB)."""
+    if isinstance(entry, dict):
+        from .quant import dequant_weight_int4
+
+        return dequant_weight_int4(entry, dtype)
+    return entry.astype(dtype)
+
+
 def t5_encode(
     cfg: T5Config,
     params: Params,
@@ -86,9 +97,9 @@ def t5_encode(
 
     def attn(p: Params, h: jnp.ndarray) -> jnp.ndarray:
         hn = t5_rms_norm(p["ln"], h)
-        q = jnp.einsum("bld,dk->blk", hn, p["q"].astype(hn.dtype))
-        k = jnp.einsum("bld,dk->blk", hn, p["k"].astype(hn.dtype))
-        v = jnp.einsum("bld,dk->blk", hn, p["v"].astype(hn.dtype))
+        q = jnp.einsum("bld,dk->blk", hn, _w(p["q"], hn.dtype))
+        k = jnp.einsum("bld,dk->blk", hn, _w(p["k"], hn.dtype))
+        v = jnp.einsum("bld,dk->blk", hn, _w(p["v"], hn.dtype))
         q = q.reshape(b, L, cfg.num_heads, cfg.d_kv).transpose(0, 2, 1, 3)
         k = k.reshape(b, L, cfg.num_heads, cfg.d_kv).transpose(0, 2, 1, 3)
         v = v.reshape(b, L, cfg.num_heads, cfg.d_kv).transpose(0, 2, 1, 3)
@@ -96,15 +107,15 @@ def t5_encode(
         probs = jax.nn.softmax(logits + pos_bias, axis=-1).astype(v.dtype)
         o = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         o = o.transpose(0, 2, 1, 3).reshape(b, L, cfg.num_heads * cfg.d_kv)
-        return h + jnp.einsum("blk,kd->bld", o, p["o"].astype(o.dtype))
+        return h + jnp.einsum("blk,kd->bld", o, _w(p["o"], o.dtype))
 
     def ffn(p: Params, h: jnp.ndarray) -> jnp.ndarray:
         hn = t5_rms_norm(p["ln"], h)
         gate = jax.nn.gelu(
-            jnp.einsum("bld,df->blf", hn, p["wi_0"].astype(hn.dtype)), approximate=True
+            jnp.einsum("bld,df->blf", hn, _w(p["wi_0"], hn.dtype)), approximate=True
         )
-        up = jnp.einsum("bld,df->blf", hn, p["wi_1"].astype(hn.dtype))
-        return h + jnp.einsum("blf,fd->bld", gate * up, p["wo"].astype(h.dtype))
+        up = jnp.einsum("bld,df->blf", hn, _w(p["wi_1"], hn.dtype))
+        return h + jnp.einsum("blf,fd->bld", gate * up, _w(p["wo"], h.dtype))
 
     def body(h, bp):
         h = attn(bp["attn"], h)
