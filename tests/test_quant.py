@@ -158,3 +158,22 @@ def test_t5_encode_int4():
     # ~4% noise per matmul compounds across layers) — real-weight quality is
     # a round-3 gate alongside the PSNR check (docs/ROADMAP.md)
     assert rel < 0.3, rel
+
+
+def test_linear_int4_dispatch():
+    """layers.linear consumes int4 entries; output matches the dequantized
+    bf16 weight path."""
+    from visualcloze_tpu.models.layers import linear
+    from visualcloze_tpu.models.quant import dequant_weight_int4, quantize_weight_int4
+
+    rng = np.random.default_rng(9)
+    w = jnp.asarray(rng.standard_normal((256, 64)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((64,)) * 0.1, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((3, 256)), jnp.float32)
+    entry = quantize_weight_int4(w, group=128)
+    got = linear({**entry, "b": b}, x)
+    want = linear({"w": dequant_weight_int4(entry, jnp.bfloat16), "b": b},
+                  x.astype(jnp.bfloat16))
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=2e-2, atol=2e-2)

@@ -95,6 +95,16 @@ def linear(p: Params, x: jnp.ndarray, lora: Params | None = None, lora_scale=1.0
         w_bf16 = jax.lax.optimization_barrier(p["w_int8"]).astype(jnp.bfloat16)
         y = jnp.einsum("...i,io->...o", x, w_bf16)
         y = y * p["w_scale"].astype(y.dtype)
+    elif "w_int4" in p:
+        # int4 entries (models/quant.quantize_weight_int4): group-scaled
+        # nibble codes, unpacked in-loop behind the same anti-hoist barrier.
+        # Capacity mode for memory-constrained serving; DiT quality under
+        # int4 is gated on real-weight validation (docs/ROADMAP.md).
+        from .quant import dequant_weight_int4
+
+        x = x.astype(jnp.bfloat16)
+        w4 = dict(p, w_int4=jax.lax.optimization_barrier(p["w_int4"]))
+        y = jnp.einsum("...i,io->...o", x, dequant_weight_int4(w4, jnp.bfloat16))
     else:
         w = p["w"]
         x = x.astype(w.dtype)
