@@ -177,3 +177,30 @@ def test_linear_int4_dispatch():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         rtol=2e-2, atol=2e-2)
+
+
+def test_flux_int4_forward():
+    """quantize_flux_int4 tree runs through flux_apply (capacity mode)."""
+    from visualcloze_tpu.config import FluxConfig
+    from visualcloze_tpu.models.flux import flux_apply, init_flux
+    from visualcloze_tpu.models.quant import quantize_flux_int4
+
+    cfg = FluxConfig().tiny()
+    params = init_flux(jax.random.PRNGKey(0), cfg, jnp.float32)
+    q = quantize_flux_int4(params)
+    rng = np.random.default_rng(0)
+    kw = dict(
+        img=jnp.asarray(rng.standard_normal((1, 16, cfg.in_channels)), jnp.float32),
+        img_ids=jnp.zeros((1, 16, 3)),
+        txt=jnp.asarray(rng.standard_normal((1, 8, cfg.context_in_dim)), jnp.float32),
+        txt_ids=jnp.zeros((1, 8, 3)),
+        timesteps=jnp.asarray([0.5]),
+        y=jnp.asarray(rng.standard_normal((1, cfg.vec_in_dim)), jnp.float32),
+    )
+    if cfg.guidance_embed:
+        kw["guidance"] = jnp.asarray([4.0])
+    ref = np.asarray(flux_apply(cfg, params, **kw), np.float32)
+    got = np.asarray(flux_apply(cfg, q, **kw), np.float32)
+    assert got.shape == ref.shape and np.isfinite(got).all()
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.35, rel  # random weights = quantization worst case

@@ -268,8 +268,9 @@ def last_layer(
     mod = linear(p["adaLN"], jax.nn.silu(vec), l.get("adaLN"), lora_scale).astype(jnp.float32)
     shift, scale = jnp.split(mod, 2, axis=-1)
     x = (1.0 + scale[:, None]) * layer_norm(x) + shift[:, None]
-    out_dtype = p["linear"].get("w", p["linear"].get("w_int8")).dtype
-    if out_dtype == jnp.int8:
+    if "w" in p["linear"]:
+        out_dtype = p["linear"]["w"].dtype
+    else:  # quantized entries (w_int8 / w_int4) compute in bf16
         out_dtype = jnp.bfloat16
     return linear(p["linear"], x.astype(out_dtype), l.get("linear"), lora_scale)
 

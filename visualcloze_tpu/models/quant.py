@@ -186,6 +186,23 @@ def dequant_weight_int4(entry: Params, dtype=jnp.bfloat16) -> jnp.ndarray:
     return wf.reshape(*lead, din, dout).astype(dtype)
 
 
+def quantize_flux_int4(params: Params, group: int = INT4_GROUP) -> Params:
+    """int4-quantize every linear weight of a Flux pytree (mirrors
+    quantize_flux_int8; ~6 GB for the 12B model). Capacity mode — DiT
+    quality under int4 needs real-weight validation before production."""
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "w" in node:
+                out = {k: v for k, v in node.items() if k != "w"}
+                out.update(quantize_weight_int4(node["w"], group))
+                return out
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(params)
+
+
 def quantize_t5_int4(params: Params, group: int = INT4_GROUP) -> Params:
     """int4-quantize the T5 block matmul weights (stacked (L, in, out)
     leaves); the embedding, norms, and relative bias keep their dtype.
