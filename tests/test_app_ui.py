@@ -11,6 +11,7 @@ import pytest
 from PIL import Image
 
 
+
 class FakeComponent:
     def __init__(self, kind, **kwargs):
         self.kind = kind
@@ -95,6 +96,7 @@ def test_app_main_builds_ui_and_handlers(monkeypatch, tmp_path):
 
     import app
 
+
     monkeypatch.setattr(
         sys, "argv", ["app.py", "--demo"], raising=False
     )
@@ -127,3 +129,6 @@ def test_app_main_builds_ui_and_handlers(monkeypatch, tmp_path):
                      "A grid layout with 2 rows and 2 columns, displaying 4 images arranged side by side.",
                      "task", "content", 0, 30.0, 2, 2, 1.0, False)
     assert out_img is not None
+
+
+pytestmark = pytest.mark.slow  # 8-device mesh / full-stack CLI suite; fast lane skips

@@ -164,6 +164,7 @@ def test_likelihood_linear_field_analytic():
     np.testing.assert_allclose(np.asarray(logp), want, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_prepare_control_with_native_depth_tower(tiny_stack):
     """BFL prepare_control end-to-end with the native DepthAnything tower as
     the control encoder (the towers ARE the encoder callables)."""

@@ -88,6 +88,7 @@ def test_batch_padding_matches_unpadded(params):
     )
 
 
+@pytest.mark.slow
 def test_zero_init_lora_is_identity(params):
     inp = make_inputs()
     lora = init_lora(jax.random.PRNGKey(1), params, rank=4)
@@ -96,6 +97,7 @@ def test_zero_init_lora_is_identity(params):
     np.testing.assert_allclose(np.asarray(base), np.asarray(with_lora), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_lora_fold_matches_runtime_application(params):
     inp = make_inputs()
     lora = init_lora(jax.random.PRNGKey(2), params, rank=4)
@@ -109,6 +111,7 @@ def test_lora_fold_matches_runtime_application(params):
     np.testing.assert_allclose(np.asarray(runtime), np.asarray(merged), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_lora_rank_clamped(params):
     lora = init_lora(jax.random.PRNGKey(1), params, rank=1024)
     # final layer linear is (hidden, out_channels): rank clamps to out_channels

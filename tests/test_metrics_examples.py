@@ -1,5 +1,6 @@
 """Metrics and example-gallery machinery tests."""
 
+import pytest
 import numpy as np
 
 from visualcloze_tpu.utils.metrics import mae, psnr, ssim
@@ -122,6 +123,7 @@ def test_inference_cli_demo(tmp_path):
     assert out.exists()
 
 
+@pytest.mark.slow
 def test_sample_cli_sharded_sweep_disjoint(tmp_path):
     """--shard/--num_shards split items disjointly with per-shard manifests
     (the reference locks sample.py to one GPU; ref sample.py:258)."""

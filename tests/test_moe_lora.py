@@ -4,6 +4,8 @@ per-sample Python routing; never constructed). Covers: init semantics
 (zero delta at init), routing math vs a numpy oracle, gradient flow, expert
 parallelism over the ep mesh axis, and the train step."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -12,6 +14,7 @@ from visualcloze_tpu.config import FluxConfig
 from visualcloze_tpu.models.flux import flux_apply, init_flux
 from visualcloze_tpu.models.layers import MOE_TOP_K, _moe_lora_delta, linear
 from visualcloze_tpu.models.lora import fold_lora, init_lora, init_moe_lora, is_moe_lora
+
 
 
 def _flux_inputs(cfg, rng):
@@ -140,6 +143,7 @@ def test_train_step_with_moe_lora():
     from visualcloze_tpu.training import init_train_state, make_optimizer, make_train_step
     from visualcloze_tpu.transport import create_transport
 
+
     cfg = FluxConfig().tiny()
     mesh = create_mesh(fsdp=2, ep=2)
     params = shard_params(init_flux(jax.random.PRNGKey(0), cfg), mesh)
@@ -176,3 +180,6 @@ def test_train_step_with_moe_lora():
     eb = new_state.lora["double_blocks"]["img_attn"]["qkv"]["expert_b"]
     assert float(jnp.abs(eb).max()) > 0  # zero-init experts actually trained
     del replicate_tree
+
+
+pytestmark = pytest.mark.slow  # 8-device mesh / full-stack CLI suite; fast lane skips

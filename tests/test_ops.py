@@ -327,6 +327,7 @@ def test_flash_attention_fastmax_interpret():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
 
 
+@pytest.mark.slow
 def test_flash_backward_interpret_matches_xla_grads():
     """Fused Pallas backward (interpret mode) vs XLA attention gradients."""
     import unittest.mock as um
@@ -369,6 +370,7 @@ def test_flash_backward_interpret_matches_xla_grads():
             np.testing.assert_allclose(np.asarray(dv), np.asarray(wv), rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_flash_backward_nonaligned_length():
     """Backward with internal padding (L not a lane multiple)."""
     import unittest.mock as um

@@ -7,11 +7,15 @@ the sequential process_images path, (b) actual weight placement per chip,
 (c) concurrent queries with different grid sizes (no set_grid_size races).
 """
 
+import pytest
+
 import jax
 import numpy as np
 from PIL import Image
 
 from visualcloze_tpu.pipeline import PipelinedServer, random_components
+
+
 
 
 def make_img(w, h, color):
@@ -101,3 +105,6 @@ def test_pipelined_server_upsampling_parity():
     assert len(want) == len(got)
     for a, b in zip(want, got):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+pytestmark = pytest.mark.slow  # 8-device mesh / full-stack CLI suite; fast lane skips

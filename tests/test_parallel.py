@@ -10,6 +10,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from visualcloze_tpu.config import FluxConfig
 from visualcloze_tpu.models.flux import flux_apply, init_flux
 from visualcloze_tpu.parallel import (
+
     batch_sharding,
     create_mesh,
     make_flux_shardings,
@@ -165,6 +166,7 @@ def test_initialize_distributed_multi_host_detection(monkeypatch):
     node, TPU pod hostnames) routes to jax.distributed.initialize."""
     from visualcloze_tpu.parallel import initialize_distributed
 
+
     calls = []
     monkeypatch.setattr(jax.distributed, "initialize", lambda *a, **k: calls.append(1))
     for var in ("JAX_COORDINATOR_ADDRESS", "SLURM_JOB_NUM_NODES",
@@ -186,3 +188,6 @@ def test_initialize_distributed_multi_host_detection(monkeypatch):
     monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1")
     initialize_distributed()
     assert len(calls) == 2
+
+
+pytestmark = pytest.mark.slow  # 8-device mesh / full-stack CLI suite; fast lane skips

@@ -1,5 +1,6 @@
 """int8 weight-only quantization tests."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -49,6 +50,7 @@ def test_quantized_flux_forward_close():
     assert corr > 0.98
 
 
+@pytest.mark.slow
 def test_init_flux_int8_structure_and_memory():
     params = init_flux_int8(jax.random.PRNGKey(0), CFG)
     leaf = params["double_blocks"]["img_attn"]["qkv"]
@@ -179,6 +181,7 @@ def test_linear_int4_dispatch():
         rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_flux_int4_forward():
     """quantize_flux_int4 tree runs through flux_apply (capacity mode)."""
     from visualcloze_tpu.config import FluxConfig

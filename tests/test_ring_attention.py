@@ -10,6 +10,7 @@ from visualcloze_tpu.ops.ring_attention import ring_attention
 from visualcloze_tpu.parallel import create_mesh
 
 
+
 @pytest.mark.parametrize("cp", [2, 4, 8])
 def test_ring_attention_matches_full(cp):
     mesh = jax.sharding.Mesh(np.array(jax.devices()[:cp]).reshape(cp), ("cp",))
@@ -168,6 +169,7 @@ def test_ring_attention_pallas_chunks_fwd_bwd_interpret():
 
     from visualcloze_tpu.ops import flash_attention as fa
 
+
     mesh = jax.sharding.Mesh(np.array(jax.devices()[:2]).reshape(2), ("cp",))
     rng = np.random.default_rng(8)
     b, h, L, d = 1, 2, 256, 32  # 128-multiple chunks (TPU lane width)
@@ -225,3 +227,6 @@ def test_ring_attention_batch_sharded_over_dp():
     np.testing.assert_allclose(
         np.asarray(got) * valid, np.asarray(want) * valid, rtol=2e-4, atol=2e-5
     )
+
+
+pytestmark = pytest.mark.slow  # 8-device mesh / full-stack CLI suite; fast lane skips

@@ -17,6 +17,7 @@ from visualcloze_tpu.training import init_train_state, make_optimizer
 from visualcloze_tpu.training.batch import sample_random_mask, to_micro_batches
 
 
+
 def make_dataset_files(tmp_path, n=6, size=64):
     records = []
     for i in range(n):
@@ -205,6 +206,7 @@ def test_checkpoint_reshard_on_restore(tmp_path):
 
     from visualcloze_tpu.parallel import create_mesh, replicate_tree, shard_params
 
+
     cfg = FluxConfig().tiny()
     mesh_a = create_mesh(fsdp=8)
     params_a = shard_params(init_flux(jax.random.PRNGKey(0), cfg), mesh_a)
@@ -231,3 +233,6 @@ def test_checkpoint_reshard_on_restore(tmp_path):
     big = state_b.params["double_blocks"]["img_attn"]["qkv"]["w"]
     assert big.sharding.mesh.shape["fsdp"] == 2  # mesh B, not mesh A's 8
     assert big.sharding.mesh.shape["tp"] == 2
+
+
+pytestmark = pytest.mark.slow  # 8-device mesh / full-stack CLI suite; fast lane skips

@@ -80,6 +80,7 @@ def test_loss_decreases_over_steps(setup):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_grad_accumulation_equivalence(setup):
     """Accumulated micro-batches == one big batch (same per-sample losses)."""
     params, lora, transport = setup

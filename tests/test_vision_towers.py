@@ -95,6 +95,7 @@ def _make_hf_depth_anything(cfg, seed=0, energize=True):
     return model
 
 
+@pytest.mark.slow
 def test_depth_anything_matches_transformers():
     cfg = DepthAnythingTowerConfig().tiny()
     model = _make_hf_depth_anything(cfg)

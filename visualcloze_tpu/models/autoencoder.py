@@ -107,6 +107,32 @@ def resnet_block(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return _gn_swish_conv(p["norm2"], p["conv2"], h, residual=res)
 
 
+@jax.custom_vjp
+def _flash_fwd_only(q, k, v):
+    """Forward-only flash path for the frozen VAE bottleneck: block sizes are
+    tuned for D=512 (the default fused-bwd blocks would blow the VMEM budget
+    at that head width), so the backward is deliberately unsupported and
+    fails with a clear message instead of deep inside Pallas."""
+    from ..ops.flash_attention import _flash_fwd
+
+    return _flash_fwd(q, k, v, None, block_q=512, block_k=1024)
+
+
+def _flash_fwd_only_fwd(q, k, v):
+    return _flash_fwd_only(q, k, v), None
+
+
+def _flash_fwd_only_bwd(res, g):
+    raise NotImplementedError(
+        "autoencoder.attn_block's long-sequence flash path is forward-only "
+        "(the VAE is frozen in every training mode, SURVEY §2.7); route a "
+        "trainable VAE through ops.flash_attention.flash_mha instead."
+    )
+
+
+_flash_fwd_only.defvjp(_flash_fwd_only_fwd, _flash_fwd_only_bwd)
+
+
 def attn_block(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """Single-head spatial self-attention at the bottleneck
     (ref autoencoder.py:25-52).
@@ -124,11 +150,7 @@ def attn_block(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     v = conv2d(p["v"], hn).reshape(b, h * w, c)
     use_flash = h * w >= 2048 and jax.devices()[0].platform == "tpu"
     if use_flash:
-        from ..ops.flash_attention import _flash_fwd
-
-        o = _flash_fwd(
-            q[:, None], k[:, None], v[:, None], None, block_q=512, block_k=1024
-        )[:, 0]
+        o = _flash_fwd_only(q[:, None], k[:, None], v[:, None])[:, 0]
     else:
         logits = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
         probs = jax.nn.softmax(logits * (c ** -0.5), axis=-1)

@@ -155,6 +155,10 @@ def quantize_weight_int4(w: jnp.ndarray, group: int = INT4_GROUP) -> Params:
     "w_scale": (..., in/group, out) fp32}. `group` shrinks to divide small
     (test-size) input dims."""
     *lead, din, dout = w.shape
+    if din % 2:
+        raise ValueError(
+            f"int4 packing needs an even input dim, got weight shape {w.shape}"
+        )
     while din % group or group % 2:
         group //= 2
     assert group >= 2, (w.shape, group)

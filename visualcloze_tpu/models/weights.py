@@ -156,7 +156,9 @@ def flux_to_torch_state(params: Params, cfg: FluxConfig) -> dict[str, np.ndarray
     state: dict[str, np.ndarray] = {}
 
     def put_lin(key: str, p: Params):
-        state[f"{key}.weight"] = np.asarray(p["w"]).T
+        # contiguous: safetensors serializes raw buffers, so a transposed
+        # VIEW would be written with the wrong element order
+        state[f"{key}.weight"] = np.ascontiguousarray(np.asarray(p["w"]).T)
         if "b" in p:
             state[f"{key}.bias"] = np.asarray(p["b"])
 
@@ -301,8 +303,8 @@ def lora_to_torch_state(lora: Params, cfg: FluxConfig) -> dict[str, np.ndarray]:
     state: dict[str, np.ndarray] = {}
 
     def put(key: str, e: Params):
-        state[f"{key}.lora_A.weight"] = np.asarray(e["a"]).T
-        state[f"{key}.lora_B.weight"] = np.asarray(e["b"]).T
+        state[f"{key}.lora_A.weight"] = np.ascontiguousarray(np.asarray(e["a"]).T)
+        state[f"{key}.lora_B.weight"] = np.ascontiguousarray(np.asarray(e["b"]).T)
         if "b_bias" in e:
             state[f"{key}.lora_B.bias"] = np.asarray(e["b_bias"])
 
@@ -331,6 +333,377 @@ def lora_to_torch_state(lora: Params, cfg: FluxConfig) -> dict[str, np.ndarray]:
                 if e is not None:
                     put(f"{prefix}.{i}.{key}", e)
     return state
+
+
+# ----------------------------- diffusers FLUX -----------------------------
+#
+# The released VisualCloze checkpoints are diffusers-first
+# (ref README.md:140-198: VisualClozePipeline-384/-512 full models and
+# VisualClozePipeline-LoRA-384/-512 safetensors, "merged into the official
+# pipelines of diffusers"). The diffusers FluxTransformer2DModel re-names
+# every module and, structurally, splits the fused BFL projections:
+#   qkv -> attn.to_q/to_k/to_v (+ add_q/k/v_proj for the txt stream) and
+#   linear1 -> attn.to_q/to_k/to_v + proj_mlp,
+# and its AdaLayerNormContinuous orders the final modulation [scale, shift]
+# where BFL's LastLayer is [shift, scale]. We normalize diffusers naming onto
+# BFL naming (re-fusing the splits) and reuse convert_flux — one pytree
+# layout, two wire formats, mirroring the VAE strategy above.
+
+# our (BFL) linear key -> diffusers linear key, 1:1 entries only
+_D_TOP = {
+    "img_in": "x_embedder",
+    "txt_in": "context_embedder",
+    "time_in.in_layer": "time_text_embed.timestep_embedder.linear_1",
+    "time_in.out_layer": "time_text_embed.timestep_embedder.linear_2",
+    "vector_in.in_layer": "time_text_embed.text_embedder.linear_1",
+    "vector_in.out_layer": "time_text_embed.text_embedder.linear_2",
+    "guidance_in.in_layer": "time_text_embed.guidance_embedder.linear_1",
+    "guidance_in.out_layer": "time_text_embed.guidance_embedder.linear_2",
+    "final_layer.linear": "proj_out",
+}
+
+_D_DOUBLE = {  # within transformer_blocks.{i}.
+    "img_mod.lin": "norm1.linear",
+    "txt_mod.lin": "norm1_context.linear",
+    "img_attn.proj": "attn.to_out.0",
+    "txt_attn.proj": "attn.to_add_out",
+    "img_mlp.0": "ff.net.0.proj",
+    "img_mlp.2": "ff.net.2",
+    "txt_mlp.0": "ff_context.net.0.proj",
+    "txt_mlp.2": "ff_context.net.2",
+}
+
+_D_DOUBLE_NORMS = {
+    "img_attn.norm.query_norm.scale": "attn.norm_q.weight",
+    "img_attn.norm.key_norm.scale": "attn.norm_k.weight",
+    "txt_attn.norm.query_norm.scale": "attn.norm_added_q.weight",
+    "txt_attn.norm.key_norm.scale": "attn.norm_added_k.weight",
+}
+
+_D_SINGLE = {  # within single_transformer_blocks.{i}.
+    "modulation.lin": "norm.linear",
+    "linear2": "proj_out",
+}
+
+_D_SINGLE_NORMS = {
+    "norm.query_norm.scale": "attn.norm_q.weight",
+    "norm.key_norm.scale": "attn.norm_k.weight",
+}
+
+# fused BFL projection -> ordered diffusers sub-projections (out-dim slices)
+_D_QKV_DOUBLE_IMG = ("attn.to_q", "attn.to_k", "attn.to_v")
+_D_QKV_DOUBLE_TXT = ("attn.add_q_proj", "attn.add_k_proj", "attn.add_v_proj")
+_D_LINEAR1 = ("attn.to_q", "attn.to_k", "attn.to_v", "proj_mlp")
+
+
+def is_diffusers_flux_state(state: State) -> bool:
+    return any(
+        k.startswith(("transformer_blocks.", "single_transformer_blocks."))
+        or k == "x_embedder.weight"
+        for k in state
+    )
+
+
+def _swap_scale_shift(x: np.ndarray) -> np.ndarray:
+    """diffusers AdaLayerNormContinuous emits [scale, shift]; BFL LastLayer
+    consumes [shift, scale]. Symmetric, so one function serves both ways."""
+    half = x.shape[0] // 2
+    return np.concatenate([x[half:], x[:half]], axis=0)
+
+
+def _count_blocks(state: State, prefix: str) -> int:
+    idx = {int(k.split(".")[1]) for k in state if k.startswith(prefix + ".")}
+    return max(idx) + 1 if idx else 0
+
+
+def normalize_diffusers_flux_keys(state: State) -> dict[str, np.ndarray]:
+    """diffusers FluxTransformer2DModel state dict -> BFL naming."""
+    out: dict[str, np.ndarray] = {}
+
+    def move(bfl: str, dif: str):
+        for suffix in (".weight", ".bias"):
+            if dif + suffix in state:
+                out[bfl + suffix] = _np(state[dif + suffix])
+
+    def fuse(bfl: str, parts: tuple[str, ...], prefix: str):
+        # torch Linear weights are (out, in): concat the split projections
+        # back along the output dim, in BFL order
+        ws = [_np(state[f"{prefix}{p}.weight"]) for p in parts]
+        out[bfl + ".weight"] = np.concatenate(ws, axis=0)
+        bias_keys = [f"{prefix}{p}.bias" for p in parts]
+        if all(b in state for b in bias_keys):
+            out[bfl + ".bias"] = np.concatenate([_np(state[b]) for b in bias_keys], axis=0)
+
+    for bfl, dif in _D_TOP.items():
+        move(bfl, dif)
+    for suffix in (".weight", ".bias"):
+        key = "norm_out.linear" + suffix
+        if key in state:
+            out["final_layer.adaLN_modulation.1" + suffix] = _swap_scale_shift(_np(state[key]))
+
+    for i in range(_count_blocks(state, "transformer_blocks")):
+        d = f"transformer_blocks.{i}."
+        b = f"double_blocks.{i}."
+        for bfl, dif in _D_DOUBLE.items():
+            move(b + bfl, d + dif)
+        for bfl, dif in _D_DOUBLE_NORMS.items():
+            out[b + bfl] = _np(state[d + dif])
+        fuse(b + "img_attn.qkv", _D_QKV_DOUBLE_IMG, d)
+        fuse(b + "txt_attn.qkv", _D_QKV_DOUBLE_TXT, d)
+
+    for i in range(_count_blocks(state, "single_transformer_blocks")):
+        d = f"single_transformer_blocks.{i}."
+        b = f"single_blocks.{i}."
+        for bfl, dif in _D_SINGLE.items():
+            move(b + bfl, d + dif)
+        for bfl, dif in _D_SINGLE_NORMS.items():
+            out[b + bfl] = _np(state[d + dif])
+        fuse(b + "linear1", _D_LINEAR1, d)
+    return out
+
+
+def convert_flux_diffusers(state: State, cfg: FluxConfig, dtype=None) -> Params:
+    """diffusers FluxTransformer2DModel state dict (e.g. the released
+    VisualClozePipeline-384/-512 transformer/ shards) -> Flux pytree."""
+    return convert_flux(normalize_diffusers_flux_keys(state), cfg, dtype)
+
+
+def flux_to_diffusers_state(params: Params, cfg: FluxConfig) -> dict[str, np.ndarray]:
+    """Flux pytree -> diffusers FluxTransformer2DModel naming (export and
+    roundtrip tests): splits the fused qkv/linear1 projections and swaps the
+    final modulation order."""
+    bfl = flux_to_torch_state(params, cfg)
+    h = cfg.hidden_size
+    out: dict[str, np.ndarray] = {}
+
+    def split(bfl_key: str, parts: tuple[str, ...], prefix: str, sizes: list[int]):
+        offs = np.cumsum([0] + sizes)
+        for p, lo, hi in zip(parts, offs[:-1], offs[1:]):
+            out[f"{prefix}{p}.weight"] = bfl[bfl_key + ".weight"][lo:hi]
+            if bfl_key + ".bias" in bfl:
+                out[f"{prefix}{p}.bias"] = bfl[bfl_key + ".bias"][lo:hi]
+
+    def move(bfl_key: str, dif: str):
+        for suffix in (".weight", ".bias"):
+            if bfl_key + suffix in bfl:
+                out[dif + suffix] = bfl[bfl_key + suffix]
+
+    for bfl_key, dif in _D_TOP.items():
+        move(bfl_key, dif)
+    for suffix in (".weight", ".bias"):
+        key = "final_layer.adaLN_modulation.1" + suffix
+        if key in bfl:
+            out["norm_out.linear" + suffix] = _swap_scale_shift(bfl[key])
+
+    for i in range(cfg.depth):
+        b, d = f"double_blocks.{i}.", f"transformer_blocks.{i}."
+        for bfl_key, dif in _D_DOUBLE.items():
+            move(b + bfl_key, d + dif)
+        for bfl_key, dif in _D_DOUBLE_NORMS.items():
+            out[d + dif] = bfl[b + bfl_key]
+        split(b + "img_attn.qkv", _D_QKV_DOUBLE_IMG, d, [h, h, h])
+        split(b + "txt_attn.qkv", _D_QKV_DOUBLE_TXT, d, [h, h, h])
+    for i in range(cfg.depth_single_blocks):
+        b, d = f"single_blocks.{i}.", f"single_transformer_blocks.{i}."
+        for bfl_key, dif in _D_SINGLE.items():
+            move(b + bfl_key, d + dif)
+        for bfl_key, dif in _D_SINGLE_NORMS.items():
+            out[d + dif] = bfl[b + bfl_key]
+        split(b + "linear1", _D_LINEAR1, d, [h, h, h, 4 * h])
+    return out
+
+
+# ----------------------------- diffusers LoRA -----------------------------
+
+def is_diffusers_lora_state(state: State) -> bool:
+    return any(
+        ".lora_A." in k
+        and (
+            k.startswith(("transformer.", "transformer_blocks.", "single_transformer_blocks."))
+            or ".attn.to_" in k
+        )
+        for k in state
+    )
+
+
+def _d_lora_entry(state: State, key: str, dtype=None) -> Params | None:
+    """One diffusers/peft LoRA pair -> {"a": (in, r), "b": (r, out)}.
+
+    Optional `{key}.alpha` (kohya-style) is folded into b as alpha/r."""
+    akey = f"{key}.lora_A.weight"
+    if akey not in state:
+        return None
+    a = _np(state[akey]).T.astype(np.float32)  # (r, in) -> (in, r)
+    b = _np(state[f"{key}.lora_B.weight"]).T.astype(np.float32)  # (out, r) -> (r, out)
+    alpha_key = f"{key}.alpha"
+    if alpha_key in state:
+        b = b * (float(_np(state[alpha_key])) / b.shape[0])
+    entry = {"a": a, "b": b}
+    bb = f"{key}.lora_B.bias"
+    if bb in state:
+        entry["b_bias"] = _np(state[bb]).astype(np.float32)
+    if dtype is not None:
+        entry = {k: v.astype(dtype) for k, v in entry.items()}
+    return entry
+
+
+def _fuse_lora_entries(
+    subs: list[Params | None], out_sizes: list[int], dtype=None
+) -> Params | None:
+    """LoRA pairs on split projections -> one pair on the fused projection.
+
+    Exact block construction: A factors concatenate along the rank axis and
+    each B lands in its projection's output slice (rank grows to the sum of
+    the present sub-ranks; absent sub-projections contribute nothing)."""
+    present = [(s, lo, hi) for s, lo, hi in zip(
+        subs, np.cumsum([0] + out_sizes)[:-1], np.cumsum(out_sizes)
+    ) if s is not None]
+    if not present:
+        return None
+    total_out = int(sum(out_sizes))
+    total_r = int(sum(s["a"].shape[-1] for s, _, _ in present))
+    a = np.concatenate([s["a"] for s, _, _ in present], axis=-1)
+    b = np.zeros((total_r, total_out), np.float32)
+    bb = np.zeros((total_out,), np.float32)
+    has_bias = False
+    r0 = 0
+    for s, lo, hi in present:
+        r = s["a"].shape[-1]
+        b[r0 : r0 + r, lo:hi] = s["b"]
+        if "b_bias" in s:
+            bb[lo:hi] = s["b_bias"]
+            has_bias = True
+        r0 += r
+    entry = {"a": a, "b": b}
+    if has_bias:
+        entry["b_bias"] = bb
+    if dtype is not None:
+        entry = {k: v.astype(dtype) for k, v in entry.items()}
+    return entry
+
+
+def convert_lora_diffusers(state: State, cfg: FluxConfig, dtype=None) -> Params:
+    """diffusers-format FLUX LoRA (e.g. VisualClozePipeline-LoRA-384/-512)
+    -> LoRA pytree mirroring the Flux params structure.
+
+    Accepts peft naming with or without the `transformer.` prefix. Split
+    q/k/v (and proj_mlp) adapters are re-fused into block-structured factors
+    on the fused BFL projections — exact, at the cost of rank summing."""
+    state = {k.removeprefix("transformer."): v for k, v in state.items()}
+    h = cfg.hidden_size
+    lora: Params = {}
+
+    def top(path: tuple, dif_key: str, swap_final: bool = False):
+        e = _d_lora_entry(state, dif_key, dtype)
+        if e is None:
+            return
+        if swap_final:
+            e = dict(e)
+            e["b"] = np.concatenate(
+                [e["b"][:, e["b"].shape[1] // 2 :], e["b"][:, : e["b"].shape[1] // 2]],
+                axis=1,
+            )
+            if "b_bias" in e:
+                e["b_bias"] = _swap_scale_shift(e["b_bias"])
+        _set(lora, path, e)
+
+    bfl_to_path = {v: k for k, v in _TOP_LINS.items()}
+    for bfl_key, dif_key in _D_TOP.items():
+        if bfl_key.startswith("guidance_in") and not cfg.guidance_embed:
+            continue
+        top(bfl_to_path[bfl_key], dif_key)
+    top(("final_layer", "adaLN"), "norm_out.linear", swap_final=True)
+
+    def block_entries(i: int, kind: str) -> Params:
+        p: Params = {}
+        if kind == "double":
+            d = f"transformer_blocks.{i}."
+            for bfl_key, dif in _D_DOUBLE.items():
+                e = _d_lora_entry(state, d + dif, dtype)
+                if e is not None:
+                    _set(p, tuple(bfl_key.split(".")), e)
+            for stream, parts in (("img_attn", _D_QKV_DOUBLE_IMG),
+                                  ("txt_attn", _D_QKV_DOUBLE_TXT)):
+                e = _fuse_lora_entries(
+                    [_d_lora_entry(state, d + part, dtype) for part in parts],
+                    [h, h, h], dtype,
+                )
+                if e is not None:
+                    _set(p, (stream, "qkv"), e)
+        else:
+            d = f"single_transformer_blocks.{i}."
+            for bfl_key, dif in _D_SINGLE.items():
+                e = _d_lora_entry(state, d + dif, dtype)
+                if e is not None:
+                    _set(p, tuple(bfl_key.split(".")), e)
+            e = _fuse_lora_entries(
+                [_d_lora_entry(state, d + part, dtype) for part in _D_LINEAR1],
+                [h, h, h, 4 * h], dtype,
+            )
+            if e is not None:
+                _set(p, ("linear1",), e)
+        return p
+
+    doubles = [block_entries(i, "double") for i in range(cfg.depth)]
+    singles = [block_entries(i, "single") for i in range(cfg.depth_single_blocks)]
+    for name, per in (("double_blocks", doubles), ("single_blocks", singles)):
+        if any(per):
+            lora[name] = _stack(per)  # raises if blocks carry non-uniform adapters
+    return lora
+
+
+def lora_to_diffusers_state(lora: Params, cfg: FluxConfig) -> dict[str, np.ndarray]:
+    """LoRA pytree -> diffusers/peft naming (`transformer.` prefix), splitting
+    fused-projection adapters: each split projection shares the fused A and
+    takes its output slice of B — the same factorization diffusers' own
+    BFL->diffusers LoRA conversion produces."""
+    bfl = lora_to_torch_state(lora, cfg)
+    h = cfg.hidden_size
+    out: dict[str, np.ndarray] = {}
+
+    def move(bfl_key: str, dif: str, swap_final: bool = False):
+        a, b = f"{bfl_key}.lora_A.weight", f"{bfl_key}.lora_B.weight"
+        if a not in bfl:
+            return
+        bw = bfl[b]
+        bias = bfl.get(f"{bfl_key}.lora_B.bias")
+        if swap_final:
+            bw = _swap_scale_shift(bw)
+            bias = None if bias is None else _swap_scale_shift(bias)
+        out[f"transformer.{dif}.lora_A.weight"] = bfl[a]
+        out[f"transformer.{dif}.lora_B.weight"] = bw
+        if bias is not None:
+            out[f"transformer.{dif}.lora_B.bias"] = bias
+
+    def split(bfl_key: str, parts: tuple[str, ...], prefix: str, sizes: list[int]):
+        a = f"{bfl_key}.lora_A.weight"
+        if a not in bfl:
+            return
+        bw, bias = bfl[f"{bfl_key}.lora_B.weight"], bfl.get(f"{bfl_key}.lora_B.bias")
+        offs = np.cumsum([0] + sizes)
+        for p, lo, hi in zip(parts, offs[:-1], offs[1:]):
+            out[f"transformer.{prefix}{p}.lora_A.weight"] = bfl[a]
+            out[f"transformer.{prefix}{p}.lora_B.weight"] = bw[lo:hi]
+            if bias is not None:
+                out[f"transformer.{prefix}{p}.lora_B.bias"] = bias[lo:hi]
+
+    for bfl_key, dif in _D_TOP.items():
+        if bfl_key == "final_layer.adaLN_modulation.1":
+            continue
+        move(bfl_key, dif)
+    move("final_layer.adaLN_modulation.1", "norm_out.linear", swap_final=True)
+    for i in range(cfg.depth):
+        b, d = f"double_blocks.{i}.", f"transformer_blocks.{i}."
+        for bfl_key, dif in _D_DOUBLE.items():
+            move(b + bfl_key, d + dif)
+        split(b + "img_attn.qkv", _D_QKV_DOUBLE_IMG, d, [h, h, h])
+        split(b + "txt_attn.qkv", _D_QKV_DOUBLE_TXT, d, [h, h, h])
+    for i in range(cfg.depth_single_blocks):
+        b, d = f"single_blocks.{i}.", f"single_transformer_blocks.{i}."
+        for bfl_key, dif in _D_SINGLE.items():
+            move(b + bfl_key, d + dif)
+        split(b + "linear1", _D_LINEAR1, d, [h, h, h, 4 * h])
+    return out
 
 
 # ----------------------------- T5 -----------------------------
@@ -495,7 +868,9 @@ def vae_to_torch_state(params: Params, cfg: AutoEncoderConfig) -> dict[str, np.n
 
     def put(key: str, node: Params):
         if "w" in node:  # conv
-            state[f"{key}.weight"] = np.asarray(node["w"]).transpose(3, 2, 0, 1)
+            state[f"{key}.weight"] = np.ascontiguousarray(
+                np.asarray(node["w"]).transpose(3, 2, 0, 1)
+            )
             state[f"{key}.bias"] = np.asarray(node["b"])
         else:  # group norm
             state[f"{key}.weight"] = np.asarray(node["scale"])

@@ -277,6 +277,6 @@ def fusable(x: jnp.ndarray, w: jnp.ndarray) -> bool:
     if not (C % 128 == 0 and Cout % 128 == 0 and tuple(w.shape[:2]) == (3, 3) and H % 2 == 0):
         return False
     return (
-        4 * (W + 2) * max(C, Cout) <= 880_000
+        4 * (W + 2) * max(C, Cout) <= VMEM_BUDGET
         or _pick_bw(W, C, Cout, 2) is not None
     )

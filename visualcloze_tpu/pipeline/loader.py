@@ -62,60 +62,111 @@ def load_sharded_safetensors(directory: str) -> dict[str, np.ndarray]:
     return state
 
 
+def load_flux_state(path: str) -> dict[str, np.ndarray]:
+    """Load a FLUX transformer state dict from a safetensors file, a directory
+    of shards, or a diffusers pipeline snapshot (its transformer/ subdir)."""
+    if os.path.isdir(path):
+        sub = os.path.join(path, "transformer")
+        return load_sharded_safetensors(sub if os.path.isdir(sub) else path)
+    return W.load_safetensors(path)
+
+
+def convert_flux_any(state: dict[str, np.ndarray], flux_cfg, dtype=None) -> dict:
+    """Dispatch on the checkpoint's wire format: BFL naming or diffusers
+    FluxTransformer2DModel naming (the released VisualClozePipeline-384/-512,
+    ref README.md:140-198)."""
+    if W.is_diffusers_flux_state(state):
+        return W.convert_flux_diffusers(state, flux_cfg, dtype)
+    return W.convert_flux(state, flux_cfg, dtype)
+
+
+def convert_lora_any(state: dict[str, np.ndarray], flux_cfg, dtype=None) -> dict:
+    """Dispatch: reference-trainer LoRA naming (lora_A/lora_B on BFL modules)
+    or diffusers/peft naming (VisualClozePipeline-LoRA-384/-512)."""
+    if W.is_diffusers_lora_state(state):
+        return W.convert_lora_diffusers(state, flux_cfg, dtype)
+    return W.convert_lora(state, flux_cfg, dtype)
+
+
 def load_flux_params(
     model_name: str,
     lora_path: str | None = None,
     lora_scale: float = 1.0,
     dtype=jnp.bfloat16,
+    base_path: str | None = None,
 ) -> tuple[FluxConfig, dict]:
-    """Base weights + optional LoRA overlay, folded (ref visualcloze.py:105-112)."""
+    """Base weights + optional LoRA overlay, folded (ref visualcloze.py:105-112).
+
+    Base may be BFL safetensors or a diffusers snapshot dir; the LoRA may be a
+    reference-trainer .pth or a diffusers-format safetensors."""
     spec = configs[model_name]
-    base_path = checkpoint_path_env(model_name)
+    base_path = base_path or checkpoint_path_env(model_name)
     if base_path is None or not os.path.exists(base_path):
         raise FileNotFoundError(
-            f"set {model_name}'s checkpoint env var (e.g. FLUX_DEV_FILL) to a local safetensors file"
+            f"set {model_name}'s checkpoint env var (e.g. FLUX_DEV_FILL) to a "
+            "local safetensors file or diffusers snapshot directory"
         )
-    state = W.load_safetensors(base_path)
-    params = W.convert_flux(state, spec.flux, dtype=np.float32)
+    state = load_flux_state(base_path)
+    params = convert_flux_any(state, spec.flux, dtype=np.float32)
     if lora_path:
         lora_state = load_torch_checkpoint(lora_path)
-        lora = W.convert_lora(lora_state, spec.flux, dtype=np.float32)
+        lora = convert_lora_any(lora_state, spec.flux, dtype=np.float32)
         params = fold_lora(params, lora, scale=lora_scale)
     params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
     return spec.flux, params
 
 
-def load_ae(dtype=jnp.bfloat16) -> AutoEncoder:
+def load_ae(dtype=jnp.bfloat16, path: str | None = None) -> AutoEncoder:
     cfg = AutoEncoderConfig()
-    path = os.environ.get("AE")
+    path = path or os.environ.get("AE")
     if path is None or not os.path.exists(path):
         raise FileNotFoundError("set AE env var to a local VAE safetensors file")
-    state = W.load_safetensors(path)
+    state = load_sharded_safetensors(path) if os.path.isdir(path) else W.load_safetensors(path)
     params = W.convert_vae(state, cfg, dtype=None)
     params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
     return AutoEncoder(cfg, params)
 
 
-def load_t5(max_length: int = 512, dtype=jnp.bfloat16) -> TextEncoder:
+def load_t5(
+    max_length: int = 512, dtype=jnp.bfloat16, directory: str | None = None,
+    tokenizer_dir: str | None = None,
+) -> TextEncoder:
     cfg = T5Config(max_length=max_length)
-    directory = os.environ.get("T5_PATH")
+    directory = directory or os.environ.get("T5_PATH")
     if directory is None or not os.path.isdir(directory):
         raise FileNotFoundError("set T5_PATH env var to a local T5-XXL snapshot dir")
     state = load_sharded_safetensors(directory)
     params = W.convert_t5(state, cfg)
     params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
-    return TextEncoder("t5", cfg, params, default_tokenizer("t5", directory), max_length)
+    return TextEncoder(
+        "t5", cfg, params, default_tokenizer("t5", tokenizer_dir or directory), max_length
+    )
 
 
-def load_clip(dtype=jnp.bfloat16) -> TextEncoder:
+def load_clip(
+    dtype=jnp.bfloat16, directory: str | None = None, tokenizer_dir: str | None = None
+) -> TextEncoder:
     cfg = CLIPTextConfig()
-    directory = os.environ.get("CLIP_PATH")
+    directory = directory or os.environ.get("CLIP_PATH")
     if directory is None or not os.path.isdir(directory):
         raise FileNotFoundError("set CLIP_PATH env var to a local CLIP-L snapshot dir")
     state = load_sharded_safetensors(directory)
     params = W.convert_clip(state, cfg)
     params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
-    return TextEncoder("clip", cfg, params, default_tokenizer("clip", directory), cfg.max_length)
+    return TextEncoder(
+        "clip", cfg, params, default_tokenizer("clip", tokenizer_dir or directory),
+        cfg.max_length,
+    )
+
+
+def is_diffusers_snapshot(path: str | None) -> bool:
+    """True for a diffusers pipeline snapshot directory (the layout the
+    released VisualClozePipeline-384/-512 ship in: model_index.json +
+    transformer/ vae/ text_encoder*/ tokenizer*/ subfolders)."""
+    return bool(path) and os.path.isdir(path) and (
+        os.path.exists(os.path.join(path, "model_index.json"))
+        or os.path.isdir(os.path.join(path, "transformer"))
+    )
 
 
 def build_visualcloze(
@@ -133,7 +184,11 @@ def build_visualcloze(
 ) -> VisualClozeModel:
     """Reference-parity constructor (visualcloze.py:79-139 signature).
 
-    model_path: the trained VisualCloze LoRA checkpoint (.pth/.safetensors).
+    model_path: the trained VisualCloze LoRA checkpoint (.pth/.safetensors,
+    reference-trainer or diffusers/peft LoRA format) OR a diffusers pipeline
+    snapshot directory (the released VisualClozePipeline-384/-512: LoRA
+    already merged into transformer/; vae/ and the text encoders are taken
+    from the snapshot when present, else from the env-var paths).
     quantize="int8": weight-only int8 DiT (single-chip 12B serving,
     models/quant.py). For 16 GB chips, load the quantized tree through
     pipeline/serving.py (save_params_dir once, then compile-first +
@@ -142,7 +197,13 @@ def build_visualcloze(
     is the worked example of the serving path.
     """
     del lora_rank  # rank is read from the checkpoint shapes
-    flux_cfg, params = load_flux_params(model_name, lora_path=model_path, dtype=dtype)
+    snapshot = model_path if is_diffusers_snapshot(model_path) else None
+    if snapshot:
+        flux_cfg, params = load_flux_params(
+            model_name, lora_path=None, dtype=dtype, base_path=snapshot
+        )
+    else:
+        flux_cfg, params = load_flux_params(model_name, lora_path=model_path, dtype=dtype)
     if quantize == "int8":
         from ..models.quant import quantize_flux_int8
 
@@ -151,12 +212,19 @@ def build_visualcloze(
         raise ValueError(f"unknown quantize mode {quantize!r}")
     if mesh is not None:
         params = shard_params(params, mesh)
+
+    def sub(name: str) -> str | None:
+        p = os.path.join(snapshot, name) if snapshot else None
+        return p if p and os.path.isdir(p) else None
+
     return VisualClozeModel(
         flux_cfg,
         params,
-        load_ae(dtype),
-        load_t5(max_length, dtype),
-        load_clip(dtype),
+        load_ae(dtype, path=sub("vae")),
+        load_t5(max_length, dtype, directory=sub("text_encoder_2"),
+                tokenizer_dir=sub("tokenizer_2")),
+        load_clip(dtype, directory=sub("text_encoder"),
+                  tokenizer_dir=sub("tokenizer")),
         resolution=resolution,
         solver=solver,
         time_shifting_factor=time_shifting_factor,

@@ -167,6 +167,12 @@ def main(argv=None) -> None:
                 jax.random.PRNGKey(args.global_seed + 1), params, args.lora_rank
             )
         if args.init_from:
+            if args.moe_experts > 0:
+                raise ValueError(
+                    "--init_from loads a plain-LoRA .pth, which has no "
+                    "MoE-expert format; it cannot be combined with "
+                    "--moe_experts (the MoE tree would be silently replaced)."
+                )
             lora = ckpt.load_torch_lora(args.init_from, flux_cfg)
         logger.info("LoRA params: %.1fM", lora_param_count(lora) / 1e6)
     logger.info("base params: %.2fB", param_count(params) / 1e9)
