@@ -42,7 +42,32 @@ def parse_args(argv=None):
     p.add_argument("--solver", default="euler", choices=["euler", "heun", "ab2", "dopri5"])
     p.add_argument("-o", "--output", default="example.jpg")
     p.add_argument("--demo", action="store_true", help="tiny random model, no checkpoints")
+    p.add_argument("--tp", type=int, default=1,
+                   help="shard the DiT over N tensor-parallel devices (multi-chip serving)")
+    p.add_argument("--fsdp", type=int, default=1,
+                   help="additionally shard DiT weights over N fsdp devices")
+    p.add_argument("--quantize", default=None, choices=[None, "int8"],
+                   help="weight-only int8 DiT (single-chip 12B serving)")
     return p.parse_args(argv)
+
+
+def serving_mesh(args):
+    """(dp=1, fsdp, tp) serving mesh, or None for single-device serving.
+
+    The reference has no multi-device serving at all (SURVEY §2.9: fairscale
+    scaffolding with model_parallel_size=1); here a mesh spec on the CLI
+    shards the 12B DiT across chips via GSPMD."""
+    if args.tp * args.fsdp <= 1:
+        return None
+    from visualcloze_tpu.parallel import create_mesh
+
+    n = len(jax.devices())
+    if n < args.tp * args.fsdp:
+        raise SystemExit(
+            f"--tp {args.tp} --fsdp {args.fsdp} needs {args.tp * args.fsdp} "
+            f"devices, found {n}"
+        )
+    return create_mesh(fsdp=args.fsdp, tp=args.tp)
 
 
 def main(argv=None):
@@ -50,10 +75,11 @@ def main(argv=None):
     from visualcloze_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    mesh = serving_mesh(args)
     if args.demo:
         from visualcloze_tpu.pipeline import random_components
 
-        model = random_components(jax.random.PRNGKey(0), tiny=True, resolution=64)
+        model = random_components(jax.random.PRNGKey(0), tiny=True, resolution=64, mesh=mesh)
         model.solver = args.solver
         if not args.rows:
             blank = Image.new("RGB", (64, 64), (120, 180, 90))
@@ -69,6 +95,8 @@ def main(argv=None):
             model_name=args.model_name,
             lora_rank=args.lora_rank,
             resolution=args.resolution,
+            mesh=mesh,
+            quantize=args.quantize,
         )
 
     grid = [

@@ -124,6 +124,20 @@ def test_inference_cli_demo(tmp_path):
 
 
 @pytest.mark.slow
+def test_inference_cli_demo_tp_sharded(tmp_path):
+    """--tp/--fsdp shard the DiT over a serving mesh from the CLI (the
+    multi-chip 12B serving route; the reference serves single-GPU only)."""
+    import inference as inference_cli
+
+    out = tmp_path / "demo_tp.jpg"
+    inference_cli.main([
+        "--demo", "--steps", "2", "--no_upsampling",
+        "--tp", "2", "--fsdp", "2", "-o", str(out),
+    ])
+    assert out.exists()
+
+
+@pytest.mark.slow
 def test_sample_cli_sharded_sweep_disjoint(tmp_path):
     """--shard/--num_shards split items disjointly with per-shard manifests
     (the reference locks sample.py to one GPU; ref sample.py:258)."""
