@@ -423,20 +423,17 @@ def rotate270(img, rng=None):
 
 # ----------------------------- dispatch -----------------------------
 
-def _blur_family(img, rng=None):
-    """The x_distortion 'blur' family key picks a random variant (ref
-    degradation_utils.py:83-97 + x_distortion/__init__.py:51-58)."""
-    rng = _rng(rng)
-    variant = [gaussian_blur, motion_blur, glass_blur, defocus_blur, zoom_blur][
-        int(rng.integers(0, 5))
-    ]
-    return variant(img, rng)
+def _x_family(family: str):
+    """Severity-graded x_distortion family: draws (subtype, severity 1..5)
+    from the reference parameter tables (ref degradation_utils.py:83-97,
+    x_distortion/__init__.py:50-113; tables in data/x_distortion.py)."""
+    from .x_distortion import add_x_distortion
 
+    def apply(img, rng=None):
+        return add_x_distortion(img, family, _rng(rng))
 
-def _noise_family(img, rng=None):
-    rng = _rng(rng)
-    variant = [gaussian_noise, poisson_noise, sp_noise][int(rng.integers(0, 3))]
-    return variant(img, rng)
+    apply.__name__ = f"x_{family}"
+    return apply
 
 
 _DISPATCH = {
@@ -470,28 +467,28 @@ _DISPATCH = {
     "rotate90": rotate90,
     "rotate180": rotate180,
     "rotate270": rotate270,
-    "blur": _blur_family,
-    "noise": _noise_family,
-    "compression": jpeg_compress,
+    "blur": _x_family("blur"),
+    "noise": _x_family("noise"),
+    "compression": _x_family("compression"),
     "SRx2": lambda img, rng=None: super_resolution_degrade(img, 2, rng),
     "SRx4": lambda img, rng=None: super_resolution_degrade(img, 4, rng),
-    "pixelate": pixelate,
+    "pixelate": _x_family("pixelate"),
     "Denoise": denoise_artifact,
-    "oversharpen": oversharpen,
-    "quantization": quantization,
-    "spatter": spatter,
+    "oversharpen": _x_family("oversharpen"),
+    "quantization": _x_family("quantization"),
+    "spatter": _x_family("spatter"),
     "Spatter": spatter,
     "Resize": lambda img, rng=None: super_resolution_degrade(img, 2, rng),
     # reference registry keys (ref prefix_instruction.py:6-51 /
     # degradation_utils.py:11-72) not covered above
     "Defocus": defocus_blur,
     "Mosaic": bayer_mosaic,
-    "contrast_strengthen": contrast_strengthen,
-    "contrast_weaken": contrast_weaken,
-    "brighten": brighten,
-    "darken": darken,
-    "saturate_strengthen": saturate_strengthen,
-    "saturate_weaken": saturate_weaken,
+    "contrast_strengthen": _x_family("contrast_strengthen"),
+    "contrast_weaken": _x_family("contrast_weaken"),
+    "brighten": _x_family("brighten"),
+    "darken": _x_family("darken"),
+    "saturate_strengthen": _x_family("saturate_strengthen"),
+    "saturate_weaken": _x_family("saturate_weaken"),
     "gray": gray,
     "ColorDistortion": color_distortion,
     "Barrel": barrel,
