@@ -117,26 +117,32 @@ def refresh_task_families() -> dict[str, list[TaskExample]]:
 
 
 def dense_prediction_tasks() -> list[TaskExample]:
+    conds = ("canny", "depth", "hed", "normal", "openpose", "uniformer")
+    ids = [["dense_0", "dense_1"], ["dense_2", "dense_3"], ["dense_1", "dense_2"],
+           ["dense_3", "dense_0"], ["dense_0", "dense_2"], ["dense_1", "dense_3"]]
     return [
         TaskExample(
             name=f"image to {cond}",
             image_type_list=["target", cond],
-            file_ids=["dense_0", "dense_1"],
-            prompts=["a photo", "a photo"],
+            file_ids=pair,
+            prompts=["a photo", f"the {cond} map of the photo"],
         )
-        for cond in ("canny", "depth", "openpose", "uniformer")
+        for cond, pair in zip(conds, ids)
     ]
 
 
 def conditional_generation_tasks() -> list[TaskExample]:
+    conds = ("canny", "depth", "mlsd", "normal", "sam2_mask")
+    ids = [["cond_0", "cond_1"], ["cond_2", "cond_3"], ["cond_1", "cond_2"],
+           ["cond_3", "cond_0"], ["cond_0", "cond_2"]]
     return [
         TaskExample(
             name=f"{cond} to image",
             image_type_list=[cond, "target"],
-            file_ids=["cond_0", "cond_1"],
-            prompts=["a photo", "a photo"],
+            file_ids=pair,
+            prompts=["a photo", f"a photo synthesized from its {cond} map"],
         )
-        for cond in ("canny", "depth", "mlsd", "normal")
+        for cond, pair in zip(conds, ids)
     ]
 
 
@@ -163,51 +169,151 @@ def process_tasks(example: TaskExample, context_num: int = 1):
     return [example.mask_count, grid_h, grid_w, layout, task, content, 0.4, 30, *images]
 
 
-def _simple_family(name: str, type_list: list[str], ids: list[str]) -> list[TaskExample]:
-    """Two examples per family: the id pair forward and reversed (the
-    reference banks hold several curated rows per family; the synthetic pack
-    provides two per id pair)."""
+# ---------------------------------------------------------------------------
+# Curated family banks.
+#
+# Mirrors the reference bank structure (examples/gradio_tasks_relighting.py:
+# 9-107 and siblings): each family holds several named example rows drawn
+# from a small id pool, each with its own content-prompt phrasing. Assets are
+# synthetic (examples/make_assets.py); ids index a 4-scene pool per family
+# and examples combine them as 2- or 3-row grids.
+# ---------------------------------------------------------------------------
+
+def _pairs(prefix: str) -> list[list[str]]:
+    """Curated id combinations over a 4-scene pool: four 2-row grids and two
+    3-row (2-context) grids."""
+    p = [f"{prefix}_{i}" for i in range(4)]
     return [
-        TaskExample(name=name, image_type_list=type_list, file_ids=ids,
-                    prompts=["a photo"] * len(ids)),
-        TaskExample(name=f"{name} (alt)", image_type_list=type_list,
-                    file_ids=list(reversed(ids)), prompts=["a photo"] * len(ids)),
+        [p[0], p[1]], [p[2], p[3]], [p[1], p[2]], [p[3], p[0]],
+        [p[0], p[2], p[3]], [p[1], p[3], p[2]],
     ]
 
 
-# remaining reference gallery families (examples/gradio_tasks*.py); assets
-# resolve if present under EXAMPLES_ROOT, otherwise the family lists empty
-register_task_family("restoration", [
-    TaskExample(name=f"{deg} restoration", image_type_list=[deg, "target"],
-                file_ids=["rest_0", "rest_1"], prompts=["a photo", "a photo"])
-    for deg in ("GaussianNoise", "GaussianBlur", "JPEG", "LowLight")
-])
-register_task_family("style_transfer", _simple_family(
-    "style transfer", ["style_source", "style_target"], ["style_0", "style_1"]))
-register_task_family("style_condition", _simple_family(
-    "style transfer with canny", ["canny", "style_source", "style_target"],
-    ["style_0", "style_1"]))
-register_task_family("tryon", _simple_family(
-    "virtual try-on", ["reference", "mask", "target"], ["tryon_0", "tryon_1"]))
-register_task_family("relighting", _simple_family(
-    "relighting", ["target", "reference"], ["relight_0", "relight_1"]))
-register_task_family("photodoodle", _simple_family(
-    "photo doodle", ["target", "reference"], ["doodle_0", "doodle_1"]))
-register_task_family("editing", _simple_family(
-    "depth-guided editing", ["DepthEdit", "target"], ["edit_0", "edit_1"]))
-register_task_family("editing_reference", _simple_family(
-    "editing with reference", ["reference", "FillEdit", "target"],
-    ["edit_0", "edit_1"]))
-register_task_family("subject_generation", _simple_family(
-    "subject-driven generation", ["reference", "target"], ["subj_0", "subj_1"]))
-register_task_family("subject_condition", _simple_family(
-    "subject + depth", ["reference", "depth", "target"], ["subj_0", "subj_1"]))
-register_task_family("subject_style", _simple_family(
-    "subject + style", ["style_source", "reference", "target"],
-    ["subj_0", "subj_1"]))
-register_task_family("subject_extraction", _simple_family(
-    "subject extraction", ["target", "foreground"], ["dense_0", "dense_1"]))
-register_task_family("image_generation", _simple_family(
-    "reference generation", ["reference", "target"], ["cond_0", "cond_1"]))
-register_task_family("unseen_tasks", _simple_family(
-    "unseen in-context task", ["mask", "target"], ["unseen_0", "unseen_1"]))
+def _bank(
+    family_name: str,
+    type_list: list[str],
+    prefix: str,
+    variants: list[str],
+    mask_count: int = 1,
+) -> list[TaskExample]:
+    """One TaskExample per (id combination, content phrasing) pair — 4-6
+    curated rows per family, each with family-specific prompt variety."""
+    return [
+        TaskExample(
+            name=f"{family_name}: {variant}",
+            image_type_list=type_list,
+            file_ids=ids,
+            prompts=["a photo"] * (len(ids) - 1) + [variant],
+            mask_count=mask_count,
+        )
+        for ids, variant in zip(_pairs(prefix), variants)
+    ]
+
+
+def restoration_tasks() -> list[TaskExample]:
+    degs = ("GaussianNoise", "GaussianBlur", "JPEG", "LowLight", "SRx4", "Inpainting")
+    blurbs = {
+        "GaussianNoise": "a clean photo recovered from heavy sensor noise",
+        "GaussianBlur": "a sharp photo recovered from out-of-focus blur",
+        "JPEG": "a clean photo free of blocky compression artifacts",
+        "LowLight": "a well-exposed photo recovered from a dark capture",
+        "SRx4": "a high-resolution photo restored from a 4x downsampled copy",
+        "Inpainting": "a complete photo with the scribbled-out regions filled in",
+    }
+    return [
+        TaskExample(
+            name=f"restore {deg}",
+            image_type_list=[deg, "target"],
+            file_ids=ids,
+            prompts=["a photo"] * (len(ids) - 1) + [blurbs[deg]],
+        )
+        for deg, ids in zip(degs, _pairs("rest"))
+    ]
+
+
+register_task_family("restoration", restoration_tasks())
+register_task_family("style_transfer", _bank(
+    "style transfer", ["style_source", "style_target"], "style",
+    ["a twilight-palette rendition of the scene",
+     "an ocean-toned rendition of the scene",
+     "a warm autumn-graded rendition of the scene",
+     "a soft rose-tinted rendition of the scene",
+     "a monochrome film rendition of the scene",
+     "a vivid high-saturation rendition of the scene"]))
+register_task_family("style_condition", _bank(
+    "style transfer with edge guidance", ["canny", "style_source", "style_target"],
+    "style",
+    ["a stylized scene following the edge map",
+     "an ocean-toned scene following the edge map",
+     "an autumn-graded scene following the edge map",
+     "a rose-tinted scene following the edge map"]))
+register_task_family("tryon", _bank(
+    "virtual try-on", ["reference", "mask", "target"], "tryon",
+    ["a person wearing the garment from the reference image",
+     "the model dressed in the referenced outfit",
+     "the garment fitted onto the person in the masked region",
+     "the outfit transferred onto the subject"]))
+register_task_family("relighting", _bank(
+    "relighting", ["target", "reference"], "relight",
+    ["the scene relit by sunset over the sea",
+     "the scene relit with light and shadow from the left",
+     "the scene relit in golden-hour light",
+     "the scene relit by shadow from a window",
+     "the scene relit with soft studio lighting",
+     "the scene relit with neon glow"]))
+register_task_family("photodoodle", _bank(
+    "photo doodle", ["target", "reference"], "doodle",
+    ["the photo decorated with hand-drawn hearts",
+     "the photo decorated with chalk scribbles",
+     "the photo decorated with cartoon monsters",
+     "the photo decorated with a flower crown"]))
+register_task_family("editing", _bank(
+    "depth-guided editing", ["DepthEdit", "target"], "edit",
+    ["the scene re-rendered under the edited depth layout",
+     "the scene with objects moved per the new depth map",
+     "the scene restructured to match the edited geometry",
+     "the scene following the adjusted depth arrangement"]))
+register_task_family("editing_reference", _bank(
+    "editing with reference", ["reference", "FillEdit", "target"], "edit",
+    ["the edit region replaced with content from the reference",
+     "the masked area filled to match the reference object",
+     "the local edit harmonized with the reference image",
+     "the filled region blended with the reference style"]))
+register_task_family("subject_generation", _bank(
+    "subject-driven generation", ["reference", "target"], "subj",
+    ["the subject from the reference placed in a new scene",
+     "the referenced subject photographed outdoors",
+     "the subject recontextualized on a fresh background",
+     "the subject rendered in a different setting",
+     "the referenced subject under new lighting"]))
+register_task_family("subject_condition", _bank(
+    "subject-driven generation with depth", ["reference", "depth", "target"], "subj",
+    ["the subject posed to match the depth layout",
+     "the referenced subject following the depth map",
+     "the subject composed per the depth structure",
+     "the subject arranged along the given geometry"]))
+register_task_family("subject_style", _bank(
+    "subject-driven generation with style", ["style_source", "reference", "target"],
+    "subj",
+    ["the subject painted in the reference style",
+     "the referenced subject in a twilight palette",
+     "the subject rendered with the style's color grade",
+     "the subject restyled to match the style image"]))
+register_task_family("subject_extraction", _bank(
+    "subject extraction", ["target", "foreground"], "dense",
+    ["the subject isolated from the scene",
+     "the foreground object cut out cleanly",
+     "the main subject extracted on white",
+     "the object segmented from its background"]))
+register_task_family("image_generation", _bank(
+    "reference-guided generation", ["reference", "target"], "cond",
+    ["a new photo consistent with the reference scene",
+     "a variation of the referenced composition",
+     "a fresh scene matching the reference's content",
+     "a re-imagined view of the referenced scene"]))
+register_task_family("unseen_tasks", _bank(
+    "unseen in-context task", ["mask", "target"], "unseen",
+    ["an image completed from the mask layout alone",
+     "a scene synthesized from the binary mask",
+     "an unseen mapping inferred from the context rows",
+     "a novel task demonstrated only in-context"]))

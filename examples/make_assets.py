@@ -79,7 +79,15 @@ def foreground_mask(img: np.ndarray) -> np.ndarray:
     return np.stack([mask] * 3, axis=-1)
 
 
-GALLERY_DEGRADATIONS = ("GaussianNoise", "GaussianBlur", "JPEG", "LowLight")
+GALLERY_DEGRADATIONS = (
+    "GaussianNoise", "GaussianBlur", "JPEG", "LowLight", "SRx4", "Inpainting"
+)
+
+# per-scene style colormaps (style-transfer gallery variety)
+_STYLE_MAPS = (
+    cv2.COLORMAP_TWILIGHT, cv2.COLORMAP_OCEAN, cv2.COLORMAP_AUTUMN,
+    cv2.COLORMAP_PINK, cv2.COLORMAP_BONE, cv2.COLORMAP_HSV,
+)
 
 
 def make_asset(file_id: str, seed: int, root: str) -> None:
@@ -105,7 +113,7 @@ def make_asset(file_id: str, seed: int, root: str) -> None:
         "foreground": (img * (fg > 0)).astype(np.uint8),
         "background": (img * (fg == 0)).astype(np.uint8),
         "mask": fg,
-        "style_source": cv2.applyColorMap(gray, cv2.COLORMAP_TWILIGHT)[..., ::-1],
+        "style_source": cv2.applyColorMap(gray, _STYLE_MAPS[seed % len(_STYLE_MAPS)])[..., ::-1],
         "style_target": img,
     }
     # degradation inputs for the restoration gallery (real toolkit functions)
@@ -124,16 +132,17 @@ def make_asset(file_id: str, seed: int, root: str) -> None:
 
     for name, arr in assets.items():
         Image.fromarray(np.ascontiguousarray(arr)).save(
-            os.path.join(root, f"{file_id}_{name}.jpg"), quality=92
+            os.path.join(root, f"{file_id}_{name}.jpg"), quality=85
         )
 
 
-# every file id referenced by the 16 gallery families (gradio_tasks.py)
+# every file id referenced by the 16 gallery families (gradio_tasks.py):
+# a 4-scene pool per family prefix
 ALL_FILE_IDS = [
-    "dense_0", "dense_1", "cond_0", "cond_1", "rest_0", "rest_1",
-    "style_0", "style_1", "tryon_0", "tryon_1", "relight_0", "relight_1",
-    "doodle_0", "doodle_1", "edit_0", "edit_1", "subj_0", "subj_1",
-    "unseen_0", "unseen_1",
+    f"{prefix}_{i}"
+    for prefix in ("dense", "cond", "rest", "style", "tryon", "relight",
+                   "doodle", "edit", "subj", "unseen")
+    for i in range(4)
 ]
 
 

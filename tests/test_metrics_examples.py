@@ -62,7 +62,11 @@ def test_all_16_gallery_families_have_assets():
     entries = app.gallery_entries()
     assert len(entries) == 16, sorted(entries)
     for family, items in entries.items():
-        assert items, family
+        # curated bank breadth: >=4 rows per family with family-specific
+        # content phrasing (ref examples/gradio_tasks_relighting.py:9-107 style)
+        assert len(items) >= 4, (family, len(items))
+        contents = {ex.prompts[-1] for _, ex in items}
+        assert len(contents) >= 4, (family, contents)
         for thumb, ex in items:
             assert os.path.exists(thumb), (family, thumb)
             grid = ex.rows(context_num=1)
