@@ -42,11 +42,15 @@ def main():
     p.add_argument("--l_img", type=int, default=3584)
     p.add_argument("--l_txt", type=int, default=512)
     p.add_argument("--lora_rank", type=int, default=256)
-    p.add_argument("--remat_policy", default="dots", choices=["dots", "full"])
+    p.add_argument("--remat_policy", default="dots",
+                   choices=["dots", "dots_split", "full"])
     p.add_argument("--attn", default="auto")
     args = p.parse_args()
 
     from bench import dit_flops
+    from visualcloze_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from visualcloze_tpu.config import FluxConfig
     from visualcloze_tpu.models.flux import init_flux
     from visualcloze_tpu.models.lora import init_lora

@@ -105,21 +105,26 @@ def test_grad_accumulation_equivalence(setup):
 
 
 def test_remat_policies_agree(setup):
-    """dots / full remat compute identical losses — the policy only changes
-    what is saved vs recomputed."""
+    """full / dots / dots_split remat compute identical losses AND updates —
+    the policy only changes what is saved vs recomputed (dots_split moves the
+    attention call between two checkpoint segments, models/flux.py)."""
     params, lora, transport = setup
     opt = make_optimizer(lr=1e-3)
     batch = make_batch()
     key = jax.random.PRNGKey(5)
-    losses = []
-    for policy in (None, "dots"):
+    losses, updates = [], []
+    for policy in (None, "dots", "dots_split"):
         state = init_train_state(params, lora, opt, "lora")
         step = make_train_step(
             CFG, transport, opt, "lora", remat=True, remat_policy=policy
         )
         st, metrics = step(state, batch, key)
         losses.append(float(metrics["loss"]))
+        updates.append(np.asarray(st.lora["double_blocks"]["img_attn"]["qkv"]["a"]))
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+    np.testing.assert_allclose(losses[0], losses[2], rtol=1e-5)
+    np.testing.assert_allclose(updates[0], updates[1], rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(updates[0], updates[2], rtol=2e-4, atol=1e-6)
 
 
 def test_ema_updates(setup):

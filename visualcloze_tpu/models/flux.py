@@ -121,27 +121,38 @@ def flux_apply(
 
     has_lora = "double_blocks" in l
 
+    # remat_policy "dots": keep matmul outputs, recompute elementwise —
+    # ~25% less backward compute than full recompute for more activation
+    # memory; None matches the reference's full checkpoint_wrapper.
+    # "dots_split": two checkpoint segments per block with the attention call
+    # BETWEEN them, so the flash kernel's custom-VJP residuals are stored and
+    # its forward recompute in the backward disappears (the ~12%-of-backward
+    # headroom docs/PROFILE.md diagnoses; a "save attention outputs" policy
+    # can't do this because the residuals are internal to the VJP).
+    seg = None
+    if remat and remat_policy == "dots_split":
+        seg = lambda f: jax.checkpoint(  # noqa: E731
+            f, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        )
+
     def dbody(carry, xs):
         bp, bl = xs
         i, t = carry
         i, t = layers.double_block(
-            cfg, bp, i, t, vec, pe, attn_mask, bl, lora_scale, attn_impl, rope_layout
+            cfg, bp, i, t, vec, pe, attn_mask, bl, lora_scale, attn_impl, rope_layout,
+            seg=seg,
         )
         return (i, t), ((i, t) if capture_activations else None)
 
     def sbody(x, xs):
         bp, bl = xs
-        x = layers.single_block(cfg, bp, x, vec, pe, attn_mask, bl, lora_scale, attn_impl, rope_layout)
+        x = layers.single_block(
+            cfg, bp, x, vec, pe, attn_mask, bl, lora_scale, attn_impl, rope_layout,
+            seg=seg,
+        )
         return x, (x if capture_activations else None)
 
-    if remat:
-        # remat_policy "dots": keep matmul outputs, recompute elementwise —
-        # ~25% less backward compute than full recompute for more activation
-        # memory; None matches the reference's full checkpoint_wrapper.
-        # (A "save attention outputs too" policy was tried and measured flat:
-        # the flash custom_vjp's residuals (o, lse) are internal to the vjp
-        # and not policy-addressable, so its forward recompute runs either
-        # way — see docs/PROFILE.md.)
+    if remat and remat_policy != "dots_split":
         policy = (
             jax.checkpoint_policies.dots_with_no_batch_dims_saveable
             if remat_policy == "dots" else None

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import FluxConfig
-from ..ops.attention import attention
+from ..ops.attention import attention, rope_qk
 
 Params = dict[str, Any]
 
@@ -183,12 +183,20 @@ def double_block(
     lora_scale=1.0,
     attn_impl: str = "auto",
     rope_layout: str = "interleaved",
+    seg=None,
 ):
     """DoubleStreamBlock (ref layers.py:129-196): separate img/txt streams with
-    joint attention over concat(txt, img)."""
+    joint attention over concat(txt, img).
+
+    seg: optional checkpoint wrapper applied to the pre-attention and
+    post-attention halves (two-segment remat). The attention call itself runs
+    OUTSIDE the checkpointed segments so the flash kernel's custom-VJP
+    residuals (rotated q/k, v, o, lse) are stored rather than recomputed in
+    the backward — the recompute elimination docs/PROFILE.md identifies.
+    RoPE is applied inside the first segment so the rotated q/k double as the
+    kernel residuals instead of duplicating them."""
     l = lora or {}
-    img_mod1, img_mod2 = modulation(p["img_mod"], vec, True, l.get("img_mod", {}).get("lin"), lora_scale)
-    txt_mod1, txt_mod2 = modulation(p["txt_mod"], vec, True, l.get("txt_mod", {}).get("lin"), lora_scale)
+    txt_len = txt.shape[1]
 
     def qkv_stream(stream_p, stream_l, x, mod):
         x_mod = (1.0 + mod["scale"]) * layer_norm(x) + mod["shift"]
@@ -197,33 +205,43 @@ def double_block(
         q, k = qk_norm(stream_p["norm"], q, k, v)
         return q, k, v
 
-    img_q, img_k, img_v = qkv_stream(p["img_attn"], l.get("img_attn", {}), img, img_mod1)
-    txt_q, txt_k, txt_v = qkv_stream(p["txt_attn"], l.get("txt_attn", {}), txt, txt_mod1)
+    def pre(img, txt):
+        img_mod1, img_mod2 = modulation(p["img_mod"], vec, True, l.get("img_mod", {}).get("lin"), lora_scale)
+        txt_mod1, txt_mod2 = modulation(p["txt_mod"], vec, True, l.get("txt_mod", {}).get("lin"), lora_scale)
+        img_q, img_k, img_v = qkv_stream(p["img_attn"], l.get("img_attn", {}), img, img_mod1)
+        txt_q, txt_k, txt_v = qkv_stream(p["txt_attn"], l.get("txt_attn", {}), txt, txt_mod1)
+        q = jnp.concatenate([txt_q, img_q], axis=2)
+        k = jnp.concatenate([txt_k, img_k], axis=2)
+        v = jnp.concatenate([txt_v, img_v], axis=2)
+        q, k = rope_qk(q, k, pe, rope_layout)
+        return q, k, v, (img_mod1, img_mod2, txt_mod1, txt_mod2)
 
-    q = jnp.concatenate([txt_q, img_q], axis=2)
-    k = jnp.concatenate([txt_k, img_k], axis=2)
-    v = jnp.concatenate([txt_v, img_v], axis=2)
+    def post(img, txt, attn, mods):
+        img_mod1, img_mod2, txt_mod1, txt_mod2 = mods
+        txt_attn, img_attn = attn[:, :txt_len], attn[:, txt_len:]
 
-    attn = attention(q, k, v, pe, mask=attn_mask, impl=attn_impl, rope_layout=rope_layout)
-    txt_len = txt.shape[1]
-    txt_attn, img_attn = attn[:, :txt_len], attn[:, txt_len:]
+        def mlp(stream_p, stream_l, x, mod):
+            x_mod = ((1.0 + mod["scale"]) * layer_norm(x) + mod["shift"])
+            h = linear(stream_p["0"], x_mod, stream_l.get("0"), lora_scale)
+            h = jax.nn.gelu(h, approximate=True)
+            return linear(stream_p["2"], h, stream_l.get("2"), lora_scale)
 
-    def mlp(stream_p, stream_l, x, mod):
-        x_mod = ((1.0 + mod["scale"]) * layer_norm(x) + mod["shift"])
-        h = linear(stream_p["0"], x_mod, stream_l.get("0"), lora_scale)
-        h = jax.nn.gelu(h, approximate=True)
-        return linear(stream_p["2"], h, stream_l.get("2"), lora_scale)
+        img = img + (img_mod1["gate"] * linear(
+            p["img_attn"]["proj"], img_attn, l.get("img_attn", {}).get("proj"), lora_scale
+        ).astype(jnp.float32)).astype(img.dtype)
+        img = img + (img_mod2["gate"] * mlp(p["img_mlp"], l.get("img_mlp", {}), img, img_mod2).astype(jnp.float32)).astype(img.dtype)
 
-    img = img + (img_mod1["gate"] * linear(
-        p["img_attn"]["proj"], img_attn, l.get("img_attn", {}).get("proj"), lora_scale
-    ).astype(jnp.float32)).astype(img.dtype)
-    img = img + (img_mod2["gate"] * mlp(p["img_mlp"], l.get("img_mlp", {}), img, img_mod2).astype(jnp.float32)).astype(img.dtype)
+        txt = txt + (txt_mod1["gate"] * linear(
+            p["txt_attn"]["proj"], txt_attn, l.get("txt_attn", {}).get("proj"), lora_scale
+        ).astype(jnp.float32)).astype(txt.dtype)
+        txt = txt + (txt_mod2["gate"] * mlp(p["txt_mlp"], l.get("txt_mlp", {}), txt, txt_mod2).astype(jnp.float32)).astype(txt.dtype)
+        return img, txt
 
-    txt = txt + (txt_mod1["gate"] * linear(
-        p["txt_attn"]["proj"], txt_attn, l.get("txt_attn", {}).get("proj"), lora_scale
-    ).astype(jnp.float32)).astype(txt.dtype)
-    txt = txt + (txt_mod2["gate"] * mlp(p["txt_mlp"], l.get("txt_mlp", {}), txt, txt_mod2).astype(jnp.float32)).astype(txt.dtype)
-    return img, txt
+    if seg is not None:
+        pre, post = seg(pre), seg(post)
+    q, k, v, mods = pre(img, txt)
+    attn = attention(q, k, v, None, mask=attn_mask, impl=attn_impl)
+    return post(img, txt, attn, mods)
 
 
 def single_block(
@@ -237,23 +255,39 @@ def single_block(
     lora_scale=1.0,
     attn_impl: str = "auto",
     rope_layout: str = "interleaved",
+    seg=None,
 ) -> jnp.ndarray:
-    """SingleStreamBlock (ref layers.py:199-245): fused parallel attn+MLP."""
+    """SingleStreamBlock (ref layers.py:199-245): fused parallel attn+MLP.
+
+    seg: optional two-segment checkpoint wrapper — see double_block. The
+    fused linear1 output `h` is a segment boundary; the mlp half is re-sliced
+    from it in the second segment so it isn't stored twice."""
     l = lora or {}
-    mod, _ = modulation(p["modulation"], vec, False, l.get("modulation", {}).get("lin"), lora_scale)
-    x_mod = ((1.0 + mod["scale"]) * layer_norm(x) + mod["shift"]).astype(x.dtype)
-    h = linear(p["linear1"], x_mod, l.get("linear1"), lora_scale)
-    qkv, mlp_h = jnp.split(h, [3 * cfg.hidden_size], axis=-1)
-    q, k, v = _split_heads(qkv, cfg.num_heads)
-    q, k = qk_norm(p["norm"], q, k, v)
-    attn = attention(q, k, v, pe, mask=attn_mask, impl=attn_impl, rope_layout=rope_layout)
-    out = linear(
-        p["linear2"],
-        jnp.concatenate([attn, jax.nn.gelu(mlp_h, approximate=True)], axis=-1),
-        l.get("linear2"),
-        lora_scale,
-    )
-    return x + (mod["gate"] * out.astype(jnp.float32)).astype(x.dtype)
+
+    def pre(x):
+        mod, _ = modulation(p["modulation"], vec, False, l.get("modulation", {}).get("lin"), lora_scale)
+        x_mod = ((1.0 + mod["scale"]) * layer_norm(x) + mod["shift"]).astype(x.dtype)
+        h = linear(p["linear1"], x_mod, l.get("linear1"), lora_scale)
+        q, k, v = _split_heads(h[..., : 3 * cfg.hidden_size], cfg.num_heads)
+        q, k = qk_norm(p["norm"], q, k, v)
+        q, k = rope_qk(q, k, pe, rope_layout)
+        return q, k, v, h, mod
+
+    def post(x, attn, h, mod):
+        mlp_h = h[..., 3 * cfg.hidden_size :]
+        out = linear(
+            p["linear2"],
+            jnp.concatenate([attn, jax.nn.gelu(mlp_h, approximate=True)], axis=-1),
+            l.get("linear2"),
+            lora_scale,
+        )
+        return x + (mod["gate"] * out.astype(jnp.float32)).astype(x.dtype)
+
+    if seg is not None:
+        pre, post = seg(pre), seg(post)
+    q, k, v, h, mod = pre(x)
+    attn = attention(q, k, v, None, mask=attn_mask, impl=attn_impl)
+    return post(x, attn, h, mod)
 
 
 def last_layer(

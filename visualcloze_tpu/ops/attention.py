@@ -114,6 +114,25 @@ def mha(
     raise ValueError(f"unknown attention impl {impl!r}")
 
 
+def rope_qk(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    pe: tuple[jnp.ndarray, jnp.ndarray] | None,
+    rope_layout: str = "interleaved",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Apply the RoPE rotation to q and k ((B, H, L, D); pe = (cos, sin)
+    tables (B, L, D//2)). Split out of attention() so the two-segment remat
+    path (models/layers.py) can rotate inside its first checkpoint segment —
+    the rotated q/k then double as the flash kernel's saved residuals."""
+    if pe is None:
+        return q, k
+    cos, sin = pe
+    cos = cos[:, None]  # broadcast over heads
+    sin = sin[:, None]
+    rope_fn = apply_rope_half if rope_layout == "half" else apply_rope
+    return rope_fn(q, cos, sin), rope_fn(k, cos, sin)
+
+
 def attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -127,18 +146,13 @@ def attention(
 
     Args:
       q, k, v: (B, H, L, D).
-      pe: (cos, sin) tables, each (B, L, D//2) — applied to q and k in fp32.
+      pe: (cos, sin) tables, each (B, L, D//2) — applied to q and k in fp32
+          (pass None if already rotated).
       mask: (B, L) int {1=real, 0=pad} over the key/query sequence.
     Returns:
       (B, L, H*D) in q.dtype; padded query positions zeroed.
     """
-    if pe is not None:
-        cos, sin = pe
-        cos = cos[:, None]  # broadcast over heads
-        sin = sin[:, None]
-        rope_fn = apply_rope_half if rope_layout == "half" else apply_rope
-        q = rope_fn(q, cos, sin)
-        k = rope_fn(k, cos, sin)
+    q, k = rope_qk(q, k, pe, rope_layout)
     bias = mask_to_bias(mask)
     x = mha(q, k, v, bias=bias, impl=impl)
     b, h, l, d = x.shape

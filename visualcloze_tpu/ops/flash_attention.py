@@ -416,7 +416,13 @@ def _flash_mha_fwd(q, k, v, bias):
     lq = q.shape[2]
     o, lse, (qp, kp, vp, biasp, lq_pad, lk_pad) = _flash_fwd_lse(q, k, v, bias)
     out = o[:, :, :lq] if lq_pad else o
-    return out, (qp, kp, vp, biasp, o, lse, lq_pad, lk_pad, bias is not None)
+    # Store lse compact (B, H, Lq_p, 1): the kernel writes it lane-broadcast
+    # to 128 (TPU lane-tiling minimum), but persisting the full broadcast as
+    # a VJP residual costs 128x the HBM — ~50 MB/call at serving shapes,
+    # which is what pushes the two-segment remat policy (models/flux.py
+    # "dots_split") out of memory. The backward re-broadcasts for the
+    # kernels' (1, 1, bq, 128) operand blocks.
+    return out, (qp, kp, vp, biasp, o, lse[..., :1], lq_pad, lk_pad, bias is not None)
 
 
 def _pallas_bwd_padded(q, k, v, bias, do, lse, delta):
@@ -494,6 +500,7 @@ def _flash_mha_bwd(res, g):
     q, k, v, bias, o, lse, lq_pad, lk_pad, had_bias = res
     lq_p = q.shape[2]
     lk_p = k.shape[2]
+    lse = jnp.broadcast_to(lse, (*lse.shape[:3], 128))  # un-compact the residual
     do = jnp.pad(g, ((0, 0), (0, 0), (0, lq_pad), (0, 0))) if lq_pad else g
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True)
     delta = jnp.broadcast_to(delta, (*delta.shape[:3], 128))  # lane-broadcast (B,H,Lq,128)

@@ -82,7 +82,8 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--use_model_ema", action="store_true")
     p.add_argument("--ema_decay", type=float, default=0.95)
     p.add_argument("--checkpointing", action="store_true", help="activation remat")
-    p.add_argument("--remat_policy", default="dots", choices=["dots", "full"],
+    p.add_argument("--remat_policy", default="dots",
+                   choices=["dots", "dots_split", "full"],
                    help="remat policy: dots saves matmul outputs (faster bwd), "
                         "full recomputes everything (least memory)")
     # parallelism (mesh axes replace data_parallel fsdp/sdp flags)
