@@ -46,8 +46,9 @@ def parse_args(argv=None):
                    help="shard the DiT over N tensor-parallel devices (multi-chip serving)")
     p.add_argument("--fsdp", type=int, default=1,
                    help="additionally shard DiT weights over N fsdp devices")
-    p.add_argument("--quantize", default=None, choices=[None, "int8"],
-                   help="weight-only int8 DiT (single-chip 12B serving)")
+    p.add_argument("--quantize", default=None, choices=[None, "int8", "w8a8"],
+                   help="int8 DiT: weight-only (int8) or dynamic-activation "
+                        "int8 MXU compute (w8a8; single-chip 12B serving)")
     return p.parse_args(argv)
 
 

@@ -50,6 +50,75 @@ def test_quantized_flux_forward_close():
     assert corr > 0.98
 
 
+def test_act_quant_int8_roundtrip():
+    from visualcloze_tpu.models.quant import act_quant_int8
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((4, 7, 64)) * 3.0, jnp.float32)
+    codes, scale = act_quant_int8(x)
+    assert codes.dtype == jnp.int8 and scale.shape == (4, 7, 1)
+    back = codes.astype(jnp.float32) * scale
+    rel = np.abs(np.asarray(back) - np.asarray(x)).max(axis=-1) / (
+        np.abs(np.asarray(x)).max(axis=-1) + 1e-8
+    )
+    assert rel.max() < 1.0 / 127  # within one step per token
+
+
+def test_w8a8_linear_matches_quantized_math():
+    """layers.linear's w8a8 branch == explicit int32 accumulation + rescale."""
+    from visualcloze_tpu.models.layers import linear
+    from visualcloze_tpu.models.quant import act_quant_int8, quantize_linear_int8
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 5, 48)), jnp.float32)
+    p = {"w": jnp.asarray(rng.standard_normal((48, 32)) * 0.05, jnp.float32),
+         "b": jnp.asarray(rng.standard_normal((32,)) * 0.01, jnp.float32)}
+    q = quantize_linear_int8(p)
+    q8 = dict(q, a8=jnp.zeros((), jnp.int8))
+    got = np.asarray(linear(q8, x), np.float32)
+
+    codes, scale = act_quant_int8(x)
+    acc = np.einsum(
+        "bli,io->blo",
+        np.asarray(codes, np.int32),
+        np.asarray(q["w_int8"], np.int32),
+    )
+    want = acc.astype(np.float32) * np.asarray(scale) * np.asarray(q["w_scale"])
+    want = want.astype(ml_bf16()).astype(np.float32) + np.asarray(
+        p["b"], np.float32
+    ).astype(ml_bf16()).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-3)
+
+
+def test_w8a8_flux_forward_close():
+    from visualcloze_tpu.models.quant import quantize_flux_w8a8
+
+    params = init_flux(jax.random.PRNGKey(0), CFG)
+    qparams = quantize_flux_w8a8(params)
+    rng = np.random.default_rng(4)
+    inp = dict(
+        img=jnp.asarray(rng.standard_normal((1, 8, CFG.in_channels)), jnp.float32),
+        img_ids=jnp.zeros((1, 8, 3)),
+        txt=jnp.asarray(rng.standard_normal((1, 4, CFG.context_in_dim)), jnp.float32),
+        txt_ids=jnp.zeros((1, 4, 3)),
+        timesteps=jnp.asarray([0.5]),
+        y=jnp.asarray(rng.standard_normal((1, CFG.vec_in_dim)), jnp.float32),
+        guidance=jnp.asarray([4.0]),
+    )
+    ref = np.asarray(flux_apply(CFG, params, **inp, attn_impl="xla"), np.float32)
+    got = np.asarray(flux_apply(CFG, qparams, **inp, attn_impl="xla"), np.float32)
+    denom = max(np.abs(ref).max(), 1e-6)
+    assert np.abs(got - ref).mean() / denom < 0.2  # w8a8 adds act-quant noise
+    corr = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
+    assert corr > 0.97
+
+
+def ml_bf16():
+    import ml_dtypes
+
+    return ml_dtypes.bfloat16
+
+
 @pytest.mark.slow
 def test_init_flux_int8_structure_and_memory():
     params = init_flux_int8(jax.random.PRNGKey(0), CFG)

@@ -82,7 +82,25 @@ def linear(p: Params, x: jnp.ndarray, lora: Params | None = None, lora_scale=1.0
 
     Also dispatches int8 weight-only entries (models/quant.py): storage int8,
     compute bf16 — XLA fuses the convert into the matmul's weight loads."""
-    if "w_int8" in p:
+    if "w_int8" in p and "a8" in p:
+        # w8a8 (models/quant.quantize_flux_w8a8): per-token dynamic int8
+        # activations x int8 weights -> s32 on the MXU int8 path, rescaled
+        # by act_scale * w_scale. NOTE: measured on v5e the int8 MXU rate
+        # equals bf16 (docs/DESIGN.md) — the double-rate path arrives with
+        # v6e+, which is what this mode targets; on v5e it only halves the
+        # activation operand traffic. The barrier pins the weight load
+        # in-loop exactly like the weight-only branch.
+        from .quant import act_quant_int8
+
+        xq, x_scale = act_quant_int8(x)
+        w8 = jax.lax.optimization_barrier(p["w_int8"])
+        acc = jnp.einsum(
+            "...i,io->...o", xq, w8, preferred_element_type=jnp.int32
+        )
+        y = acc.astype(jnp.float32) * x_scale * p["w_scale"]
+        y = y.astype(jnp.bfloat16)
+        x = x.astype(jnp.bfloat16)  # for the LoRA delta below
+    elif "w_int8" in p:
         x = x.astype(jnp.bfloat16)
         # XLA's fused convert-dot beats the hand-written Pallas int8 kernel
         # here (measured 80% vs 61% MFU — ops/int8_matmul.py remains as a

@@ -136,6 +136,61 @@ def init_flux_int8(key: jax.Array, cfg, seed_scale: float = 0.02) -> Params:
     return params
 
 
+# ----------------------------- w8a8 (int8 MXU) -----------------------------
+#
+# Dynamic-activation int8: weights stay in the weight-only int8 layout and a
+# static "a8" marker key switches models/layers.linear to quantize the
+# activations per token (symmetric absmax over the feature dim) and run the
+# matmul as s8 x s8 -> s32 on the MXU int8 path, rescaling by
+# act_scale * w_scale afterwards. Hardware note: measured on v5e the int8
+# MXU rate EQUALS bf16 (139 TOP/s vs 140 TFLOP/s, docs/DESIGN.md), so on
+# this generation w8a8 only halves activation operand traffic; the
+# double-rate int8 MXU arrives with v6e+, which is the target for this
+# mode. Serving-only and opt-in (--quantize w8a8): per-token activation
+# quantization is the standard quality/throughput tradeoff and, like int4,
+# is gated on real-weight validation (docs/ROADMAP.md).
+
+
+def act_quant_int8(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-token symmetric absmax int8: x (..., in) -> (codes int8,
+    scale fp32 (..., 1))."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    codes = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return codes, scale
+
+
+# the token-dim block matmuls (~95% of DiT FLOPs). Modulation lins (vec-dim,
+# B x h), the embedder MLPs, and the output head stay weight-only int8:
+# int8 activations buy no MXU time there and those layers are the
+# quality-sensitive ones under activation quantization.
+_A8_KEYS = frozenset({"qkv", "proj", "0", "2", "linear1", "linear2"})
+
+
+def quantize_flux_w8a8(params: Params) -> Params:
+    """Weight tree for w8a8 serving: the int8 weight-only layout plus a
+    static "a8" marker on the double/single-block token-dim linears (pytree
+    keys are static under jit, so layers.linear branches at trace time)."""
+
+    def mark(node, in_blocks, key):
+        if isinstance(node, dict):
+            if "w_int8" in node:
+                if not (in_blocks and key in _A8_KEYS):
+                    return node
+                # marker carries the entry's lead (block-stack) dims so
+                # lax.scan over stacked blocks can slice it like any leaf
+                lead = node["w_int8"].shape[:-2]
+                return dict(node, a8=jnp.zeros(lead, jnp.int8))
+            return {
+                k: mark(v, in_blocks or k in ("double_blocks", "single_blocks"), k)
+                for k, v in node.items()
+            }
+        return node
+
+    return mark(quantize_flux_int8(params), False, "")
+
+
 # ----------------------------- int4 (T5 capacity) -----------------------------
 #
 # Weight-only int4 with group-wise scales, for the frozen T5-XXL encoder:

@@ -208,6 +208,13 @@ def build_visualcloze(
         from ..models.quant import quantize_flux_int8
 
         params = quantize_flux_int8(params)
+    elif quantize == "w8a8":
+        # int8 weights AND per-token dynamic int8 activations — the MXU's
+        # double-rate int8 path (models/quant.quantize_flux_w8a8). Opt-in;
+        # quality gated on real-weight validation like int4.
+        from ..models.quant import quantize_flux_w8a8
+
+        params = quantize_flux_w8a8(params)
     elif quantize is not None:
         raise ValueError(f"unknown quantize mode {quantize!r}")
     if mesh is not None:
