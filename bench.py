@@ -1,24 +1,33 @@
-"""Benchmark: end-to-end 384-grid / 30-step query latency on one TPU chip.
+"""Benchmark: end-to-end default-query latency on one TPU chip.
 
 Measures every pipeline phase at the shipped serving configuration (bf16
 compute, Pallas flash attention, 512-bucketed masked sequences) and reports
-the full per-query latency (SURVEY.md §3.2 call stack):
+the full per-query latency of the REFERENCE-DEFAULT query — base 384-grid
+30-step pass PLUS the `is_upsampling=True` 10-step SDEdit stage the
+reference runs by default (ref visualcloze.py:247-255; SURVEY.md §3.2/§3.3):
 
-  T. text conditioning — T5-XXL (512 tokens) + CLIP-L (77) forward, bf16;
-  V. VAE — encode the 2 grid rows (384x1152 px each) + decode them back;
+  T. text conditioning — T5-XXL (512 tokens) + CLIP-L (77) forward, bf16
+     (runs once per stage: the SDEdit stage re-encodes the content prompt);
+  V. VAE stage-1 — encode the 2 grid rows (384x1152 px each) + decode back;
+  W. VAE stage-2 — encode at the 1024^2 SDEdit cap (x2: image + blank
+     row, pipeline/visualcloze.py:372-373) + decode the upsampled latent;
   A. flagship-width bf16 DiT slice (4+8 of 19+38 blocks — the 12B bf16 model
      does not fit one 16 GB chip) -> per-step MFU + FLOPs-linear
      extrapolation (cross-check for B);
-  B. the FULL 12B DiT, int8 weight-only (models/quant.py), loaded from an
-     ON-DISK checkpoint via compile-first + format-matched per-leaf
-     device_put (pipeline/serving.py — no whole-tree relayout copy), 30-step
-     denoise measured.
+  B. the FULL 12B DiT, int8 weight-only (models/quant.py), loaded ONCE from
+     an ON-DISK checkpoint via compile-first + format-matched per-leaf
+     device_put (pipeline/serving.py — no whole-tree relayout copy), then
+     BOTH denoise buckets measured against the same resident weight tree:
+     stage-1 (3456+512 tokens, 29 integrator steps) and stage-2 (4096+512
+     tokens, 9 steps at strength 0.4) — the second program's parameter
+     layouts are pinned to the first's so no relayout copy is possible.
 
-Headline: e2e = T + V + B. Serving topology note: T5-XXL bf16 (~9.5 GB)
-cannot co-reside with the int8 12B DiT (~12 GB) on one 16 GB chip, so
-production serving disaggregates — encoders+VAE on one chip, DiT on another;
-the single-query latency is the phase sum either way (phases are sequential
-for one query), and the DiT chip bounds throughput.
+Headline: default query = (T + V + B1) + (T + 2xW_enc + B2 + W_dec).
+Serving topology note: T5-XXL bf16 (~9.5 GB) cannot co-reside with the int8
+12B DiT (~12 GB) on one 16 GB chip, so production serving disaggregates —
+encoders+VAE on one chip, DiT on another; the single-query latency is the
+phase sum either way (phases are sequential for one query), and the DiT chip
+bounds throughput.
 
 vs_baseline: the reference publishes no speed numbers (BASELINE.md), so the
 comparison is the hardware speed-of-light for the same bf16 FLOPs (v5e peak
@@ -49,6 +58,12 @@ L_IMG_PAD = 3456          # 128-bucketed: 3456 is a lane multiple, no padding
 ROW_H, ROW_W = 384, 1152  # one grid row in pixels
 N_ROWS = 2
 STEPS = 30
+# SDEdit stage-2 defaults (ref visualcloze.py:247-255; pipeline prepare_upsampling):
+# 1024^2 cap -> 128x128 latent -> 4096 image tokens; 10 grid points at
+# strength 0.4 -> 9 integrator steps.
+STEPS2, NOISE2 = 10, 0.4
+H2 = W2 = 1024
+L2 = (H2 // 16) * (W2 // 16)
 BENCH_DEPTH, BENCH_DEPTH_SINGLE = 4, 8
 
 
@@ -96,11 +111,13 @@ def clip_flops(cfg, L: int) -> float:
     return cfg.num_layers * L * per_tok
 
 
-def vae_flops(cfg, h: int, w: int) -> float:
-    """Analytic conv FLOPs for one encode + one decode of an (h, w) image."""
-    def conv(hh, ww, cin, cout, k=3):
-        return 2.0 * hh * ww * cin * cout * k * k
+def _conv_fl(hh, ww, cin, cout, k=3):
+    return 2.0 * hh * ww * cin * cout * k * k
 
+
+def vae_enc_flops(cfg, h: int, w: int) -> float:
+    """Analytic conv FLOPs for one encode of an (h, w) image."""
+    conv = _conv_fl
     chans = [cfg.ch * m for m in cfg.ch_mult]
     total = conv(h, w, cfg.in_channels, chans[0])  # enc conv_in
     hh, ww, cin = h, w, chans[0]
@@ -113,8 +130,16 @@ def vae_flops(cfg, h: int, w: int) -> float:
             hh, ww = hh // 2, ww // 2
     total += 4 * conv(hh, ww, cin, cin) + 2 * conv(hh, ww, cin, cin)  # mid enc (2 res + attn-ish)
     total += conv(hh, ww, cin, 2 * cfg.z_channels)
-    # decoder (mirror, num_res_blocks+1 per level)
-    total += conv(hh, ww, cfg.z_channels, chans[-1])
+    return total
+
+
+def vae_dec_flops(cfg, h: int, w: int) -> float:
+    """Analytic conv FLOPs for one decode back to an (h, w) image
+    (mirror of the encoder, num_res_blocks+1 per level)."""
+    conv = _conv_fl
+    chans = [cfg.ch * m for m in cfg.ch_mult]
+    hh, ww = h // 2 ** (len(chans) - 1), w // 2 ** (len(chans) - 1)
+    total = conv(hh, ww, cfg.z_channels, chans[-1])
     cin = chans[-1]
     for i, c in enumerate(reversed(chans)):
         for _ in range(cfg.num_res_blocks + 1):
@@ -126,6 +151,11 @@ def vae_flops(cfg, h: int, w: int) -> float:
     total += 4 * conv(hh, ww, cin, cin)
     total += conv(hh, ww, cin, cfg.out_ch)
     return total
+
+
+def vae_flops(cfg, h: int, w: int) -> float:
+    """Analytic conv FLOPs for one encode + one decode of an (h, w) image."""
+    return vae_enc_flops(cfg, h, w) + vae_dec_flops(cfg, h, w)
 
 
 # ----------------------------- inputs -----------------------------
@@ -232,52 +262,38 @@ def bench_vae() -> float:
     return p50
 
 
-def bench_stage2() -> None:
-    """Phase U: SDEdit upsampling-stage shapes (ref visualcloze.py:247-318;
-    SURVEY §3.3) — 1024^2 VAE decode + DiT slice per-step at the stage-2
-    sequence (64x64 latent patches = 4096 tokens + 512 txt). Reported on
-    stderr only; the JSON headline stays the 384-grid stage-1 query."""
-    from visualcloze_tpu.config import AutoEncoderConfig, FluxConfig
-    from visualcloze_tpu.models.autoencoder import decoder_apply, init_autoencoder
-    from visualcloze_tpu.models.flux import init_flux
-    from visualcloze_tpu.models.weights import permute_rope_layout
-    from visualcloze_tpu.ops.schedule import ode_timesteps
+def bench_vae_stage2() -> tuple[float, float]:
+    """Phase W: measured SDEdit-stage VAE work at the 1024^2 cap — one encode
+    (the stage runs two: target image + blank row; the caller doubles it) and
+    one decode of the 128x128 upsampled latent. Returns (t_encode, t_decode)."""
+    from visualcloze_tpu.config import AutoEncoderConfig
+    from visualcloze_tpu.models.autoencoder import (
+        decoder_apply,
+        encoder_apply,
+        init_autoencoder,
+    )
 
-    STEPS2, L2 = 10, 4096
     cfg = AutoEncoderConfig()
-    print("U) stage-2: compiling...", file=sys.stderr)
+    print("W) stage-2 VAE: compiling...", file=sys.stderr)
     params = init_autoencoder(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    img = jnp.asarray(
+        np.random.default_rng(5).uniform(-1, 1, (1, H2, W2, 3)), jnp.bfloat16
+    )
     z = jnp.asarray(
-        np.random.default_rng(4).standard_normal((1, 128, 128, cfg.z_channels)),
+        np.random.default_rng(4).standard_normal((1, H2 // 8, W2 // 8, cfg.z_channels)),
         jnp.bfloat16,
     )
+    enc = jax.jit(lambda p, x: encoder_apply(cfg, p["encoder"], x))
     dec = jax.jit(lambda p, zz: decoder_apply(cfg, p["decoder"], zz))
+    _sync(enc(params, img))
+    t_enc = _time3(enc, params, img)
     _sync(dec(params, z))
     t_dec = _time3(dec, params, z)
-    del params, dec
+    print(f"W) stage-2 VAE 1024^2 bf16: encode {t_enc * 1e3:.0f} ms, "
+          f"decode {t_dec * 1e3:.0f} ms", file=sys.stderr)
+    del params, enc, dec
     _free()
-
-    full_cfg = FluxConfig()
-    fcfg = dataclasses.replace(
-        full_cfg, depth=BENCH_DEPTH, depth_single_blocks=BENCH_DEPTH_SINGLE
-    )
-    fparams = permute_rope_layout(init_flux(jax.random.PRNGKey(0), fcfg, jnp.bfloat16), fcfg)
-    inp = make_inputs(fcfg, l_img=L2)
-    ts2 = jnp.asarray(ode_timesteps(STEPS2 + 1, L2, do_shift=True))
-    run = jax.jit(make_run(fcfg, inp))
-    _sync(run(fparams, inp["x"], ts2))
-    p50 = _time3(run, fparams, inp["x"], ts2)
-    bench_fl = dit_flops(fcfg, L2, L_TXT)
-    mfu = bench_fl / (p50 / STEPS2) / V5E_PEAK_BF16
-    extrap = p50 * dit_flops(full_cfg, L2, L_TXT) / bench_fl
-    print(
-        f"U) stage-2 1024^2: VAE decode {t_dec * 1e3:.0f} ms; DiT slice "
-        f"{p50 / STEPS2 * 1e3:.1f} ms/step (MFU {mfu:.1%}); est. 10-step "
-        f"12B bf16 upsampling {extrap + t_dec:.2f}s",
-        file=sys.stderr,
-    )
-    del fparams, run, inp
-    _free()
+    return t_enc, t_dec
 
 
 def bench_bf16_slice(ts) -> dict:
@@ -307,14 +323,19 @@ def bench_bf16_slice(ts) -> dict:
     return {"extrapolated": extrap, "mfu": mfu, "full_flops": full_fl}
 
 
-def bench_int8_full(ts) -> float | None:
+def bench_int8_full(ts, ts2) -> tuple[float, float] | None:
     """Phase B: the real single-chip serving path — FULL 12B int8 weights
     from an on-disk checkpoint, format-matched per-leaf device_put
-    (pipeline/serving.py), 30-step denoise measured with weights resident."""
+    (pipeline/serving.py), loaded ONCE; then BOTH denoise buckets measured
+    against the same resident tree: stage-1 (L=3456, 29 steps) and the
+    SDEdit stage-2 bucket (L=4096, 9 steps). The stage-2 executable's
+    parameter layouts are pinned (jit in_shardings=Format) to the stage-1
+    formats, so sharing the tree cannot trigger a relayout copy."""
     from visualcloze_tpu.config import FluxConfig
     from visualcloze_tpu.pipeline.serving import (
         build_synthetic_int8_checkpoint,
-        load_compiled_params,
+        compile_with_formats,
+        device_put_with_formats,
         load_params_dir,
     )
 
@@ -329,61 +350,106 @@ def bench_int8_full(ts) -> float | None:
 
         inp = make_inputs(cfg)
         run = make_run(cfg, inp, rope_layout="interleaved")
-        print("B) FULL 12B int8: compiling + loading from disk...", file=sys.stderr)
+        print("B) FULL 12B int8: compiling both buckets + loading from disk...",
+              file=sys.stderr)
         t_load0 = time.perf_counter()
-        compiled, dev_params, (dev_x, dev_ts) = load_compiled_params(
-            run, host, np.asarray(inp["x"]), np.asarray(ts)
+        x1, ts1_h = np.asarray(inp["x"]), np.asarray(ts)
+        compiled, fmts = compile_with_formats(run, host, x1, ts1_h)
+
+        inp2 = make_inputs(cfg, l_img=L2)
+        run2 = make_run(cfg, inp2, rope_layout="interleaved")
+        x2, ts2_h = np.asarray(inp2["x"]), np.asarray(ts2)
+        abstract2 = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), (host, x2, ts2_h)
         )
+        compiled2 = (
+            jax.jit(run2, in_shardings=(fmts[0], None, None))
+            .lower(*abstract2)
+            .compile()
+        )
+        fmts2 = compiled2.input_formats[0]
+
+        dev_params = device_put_with_formats(host, fmts[0])
+        dev_x, dev_ts = (device_put_with_formats(a, f) for a, f in zip((x1, ts1_h), fmts[1:]))
+        dev_x2, dev_ts2 = (device_put_with_formats(a, f) for a, f in zip((x2, ts2_h), fmts2[1:]))
         _sync(compiled(dev_params, dev_x, dev_ts))
+        _sync(compiled2(dev_params, dev_x2, dev_ts2))
         t_load = time.perf_counter() - t_load0
         p50 = _time3(compiled, dev_params, dev_x, dev_ts)
+        p50_2 = _time3(compiled2, dev_params, dev_x2, dev_ts2)
     except Exception as e:  # pragma: no cover - hardware dependent
         print(f"B) FULL 12B int8 unavailable ({type(e).__name__}: {e}); "
               "falling back to extrapolated headline", file=sys.stderr)
         return None
-    print(f"B) FULL 12B int8 (measured, 1 chip, on-disk ckpt): {p50:.2f}s / "
-          f"30-step query ({p50 / STEPS * 1e3:.0f} ms/step; compile+load {t_load:.0f}s one-time)",
-          file=sys.stderr)
-    del compiled, dev_params, dev_x, dev_ts, host
+    n1, n2 = len(ts1_h) - 1, len(ts2_h) - 1
+    print(f"B) FULL 12B int8 (measured, 1 chip, on-disk ckpt): stage-1 {p50:.2f}s / "
+          f"{n1}-step query ({p50 / n1 * 1e3:.0f} ms/step); stage-2 {p50_2:.2f}s / "
+          f"{n2}-step SDEdit ({p50_2 / n2 * 1e3:.0f} ms/step; compile+load "
+          f"{t_load:.0f}s one-time)", file=sys.stderr)
+    del compiled, compiled2, dev_params, dev_x, dev_ts, dev_x2, dev_ts2, host
     _free()
-    return p50
+    return p50, p50_2
 
 
 def main() -> None:
-    from visualcloze_tpu.config import AutoEncoderConfig, CLIPTextConfig, T5Config
+    from visualcloze_tpu.config import (
+        AutoEncoderConfig,
+        CLIPTextConfig,
+        FluxConfig,
+        T5Config,
+    )
     from visualcloze_tpu.ops.schedule import ode_timesteps
     from visualcloze_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
 
     ts = jnp.asarray(ode_timesteps(STEPS + 1, L_IMG, do_shift=True))
+    # stage-2 grid exactly as pipeline.prepare_upsampling builds it
+    ts2 = jnp.asarray(
+        ode_timesteps(STEPS2, L2, do_shift=False, strength=NOISE2,
+                      time_shifting_factor=1.0)
+    )
+    n1, n2 = len(ts) - 1, len(ts2) - 1
     t_text = bench_text_encoders()
     t_vae = bench_vae()
-    if os.environ.get("BENCH_STAGE2", "0") == "1":
-        bench_stage2()  # opt-in: ~8 min cold compile (1024^2 conv variants)
+    t_enc2, t_dec2 = bench_vae_stage2()
     slice_res = bench_bf16_slice(ts)
-    int8_p50 = bench_int8_full(ts)
+    int8_res = bench_int8_full(ts, ts2)
 
-    aux_fl = (
-        t5_flops(T5Config(), L_TXT)
-        + clip_flops(CLIPTextConfig(), 77)
-        + N_ROWS * vae_flops(AutoEncoderConfig(), ROW_H, ROW_W)
-    )
-    sol = (slice_res["full_flops"] * STEPS + aux_fl) / V5E_PEAK_BF16
+    ae_cfg, full_cfg = AutoEncoderConfig(), FluxConfig()
+    text_fl = t5_flops(T5Config(), L_TXT) + clip_flops(CLIPTextConfig(), 77)
+    aux1_fl = text_fl + N_ROWS * vae_flops(ae_cfg, ROW_H, ROW_W)
+    aux2_fl = text_fl + 2 * vae_enc_flops(ae_cfg, H2, W2) + vae_dec_flops(ae_cfg, H2, W2)
+    dit2_fl = dit_flops(full_cfg, L2, L_TXT)
+    sol = (
+        slice_res["full_flops"] * n1 + aux1_fl + dit2_fl * n2 + aux2_fl
+    ) / V5E_PEAK_BF16
 
-    denoise = int8_p50 if int8_p50 is not None else slice_res["extrapolated"]
-    kind = "measured" if int8_p50 is not None else "FLOPs-extrapolated"
-    e2e = t_text + t_vae + denoise
+    if int8_res is not None:
+        den1, den2 = int8_res
+        kind = "measured"
+    else:
+        den1 = slice_res["extrapolated"]
+        den2 = den1 * (dit2_fl * n2) / (slice_res["full_flops"] * n1)
+        kind = "FLOPs-extrapolated"
+    e2e_base = t_text + t_vae + den1
+    e2e_up = t_text + 2 * t_enc2 + den2 + t_dec2
+    e2e = e2e_base + e2e_up
     print(
-        f"E2E query: text {t_text:.2f}s + vae {t_vae:.2f}s + denoise {denoise:.2f}s "
-        f"= {e2e:.2f}s; throughput {1.0 / e2e:.4f} img/s/chip; SOL {sol:.2f}s",
+        f"E2E default query: base (text {t_text:.2f}s + vae {t_vae:.2f}s + denoise "
+        f"{den1:.2f}s = {e2e_base:.2f}s) + SDEdit (text {t_text:.2f}s + "
+        f"2x encode {2 * t_enc2:.2f}s + denoise {den2:.2f}s + decode {t_dec2:.2f}s "
+        f"= {e2e_up:.2f}s) = {e2e:.2f}s; throughput {1.0 / e2e:.4f} img/s/chip; "
+        f"SOL {sol:.2f}s",
         file=sys.stderr,
     )
     print(
         json.dumps(
             {
-                "metric": "p50 end-to-end query latency, 384-grid 2x3 / 30 steps "
-                          f"(T5+CLIP+VAE bf16 + 12B DiT int8, 1 chip, {kind})",
+                "metric": "p50 end-to-end DEFAULT query latency (is_upsampling=True): "
+                          f"384-grid 2x3 / {n1} steps + 1024^2 SDEdit / {n2} steps "
+                          f"(T5+CLIP+VAE bf16 + 12B DiT int8, 1 chip, {kind}); "
+                          f"base-only {round(e2e_base, 3)}s",
                 "value": round(e2e, 3),
                 "unit": "s",
                 "vs_baseline": round(sol / e2e, 4),

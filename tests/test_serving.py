@@ -74,6 +74,67 @@ def test_format_matched_load_runs_and_matches_direct(tmp_path):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_two_bucket_compile_shares_one_device_tree(tmp_path):
+    """The bench's default-query pattern: compile TWO sequence buckets
+    (stage-1 + SDEdit stage-2) against ONE resident parameter tree, pinning
+    the second executable's parameter layouts to the first's via jit
+    in_shardings=Format — both must run off the same device arrays with no
+    relayout, and match direct jit results."""
+    params = init_flux(jax.random.PRNGKey(0), CFG)
+    save_params_dir(params, str(tmp_path / "ckpt"))
+    host = load_params_dir(str(tmp_path / "ckpt"))
+
+    rng = np.random.default_rng(3)
+    l_txt = 8
+    fixed = dict(
+        txt=rng.standard_normal((1, l_txt, CFG.context_in_dim)).astype(np.float32),
+        txt_ids=np.zeros((1, l_txt, 3), np.float32),
+        y=rng.standard_normal((1, CFG.vec_in_dim)).astype(np.float32),
+        guidance=np.full((1,), 4.0, np.float32),
+    )
+
+    def make_fn(l_img):
+        def fn(p, img, timesteps):
+            return flux_apply(
+                CFG, p, img=img, img_ids=jnp.zeros((1, l_img, 3)),
+                timesteps=timesteps, attn_impl="xla",
+                **{k: jnp.asarray(v) for k, v in fixed.items()},
+            )
+        return fn
+
+    def inputs(l_img):
+        return (
+            rng.standard_normal((1, l_img, CFG.in_channels)).astype(np.float32),
+            np.full((1,), 0.5, np.float32),
+        )
+
+    x1, t1 = inputs(16)
+    x2, t2 = inputs(32)
+    fn1, fn2 = make_fn(16), make_fn(32)
+    compiled1, fmts = compile_with_formats(fn1, host, x1, t1)
+    abstract2 = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), (host, x2, t2)
+    )
+    compiled2 = (
+        jax.jit(fn2, in_shardings=(fmts[0], None, None)).lower(*abstract2).compile()
+    )
+    # pinning worked: parameter formats agree leaf-for-leaf
+    assert jax.tree.map(lambda a, b: a == b, fmts[0], compiled2.input_formats[0][0])
+
+    dev_params = device_put_with_formats(host, fmts[0])
+    d1 = [device_put_with_formats(a, f) for a, f in zip((x1, t1), fmts[1:])]
+    d2 = [
+        device_put_with_formats(a, f)
+        for a, f in zip((x2, t2), compiled2.input_formats[0][1:])
+    ]
+    got1 = np.asarray(compiled1(dev_params, *d1))
+    got2 = np.asarray(compiled2(dev_params, *d2))
+    want1 = np.asarray(jax.jit(fn1)(params, jnp.asarray(x1), jnp.asarray(t1)))
+    want2 = np.asarray(jax.jit(fn2)(params, jnp.asarray(x2), jnp.asarray(t2)))
+    np.testing.assert_allclose(got1, want1, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got2, want2, rtol=1e-5, atol=1e-5)
+
+
 def test_synthetic_int8_checkpoint_matches_quantized_structure(tmp_path):
     build_synthetic_int8_checkpoint(CFG, str(tmp_path / "q"), seed=0)
     host = load_params_dir(str(tmp_path / "q"))
