@@ -347,6 +347,14 @@ def bench_int8_full(ts, ts2) -> tuple[float, float] | None:
                   "(one-time, ~12 GB)...", file=sys.stderr)
             build_synthetic_int8_checkpoint(cfg, ckpt)
         host = load_params_dir(ckpt)
+        if os.environ.get("BENCH_W8A8", "0") == "1":
+            # opt-in: serve the same on-disk int8 weights through the w8a8
+            # path (int8 activations on the ~1.37x v5e int8 MXU,
+            # docs/DESIGN.md). Markers are host numpy — the tree stays mmap'd.
+            from visualcloze_tpu.models.quant import mark_w8a8
+
+            host = mark_w8a8(host)
+            print("B) BENCH_W8A8=1: serving through the w8a8 path", file=sys.stderr)
 
         inp = make_inputs(cfg)
         run = make_run(cfg, inp, rope_layout="interleaved")

@@ -113,6 +113,41 @@ def test_w8a8_flux_forward_close():
     assert corr > 0.97
 
 
+def test_mark_w8a8_marks_exactly_the_token_dim_block_linears():
+    """mark_w8a8 on an already-int8 tree == quantize_flux_w8a8 structurally:
+    host-numpy 'a8' markers on exactly the double/single-block token-dim
+    linears, with block-stack lead dims (the bench's BENCH_W8A8 path)."""
+    from visualcloze_tpu.models.quant import (
+        mark_w8a8,
+        quantize_flux_int8,
+        quantize_flux_w8a8,
+    )
+
+    params = init_flux(jax.random.PRNGKey(0), CFG)
+    via_mark = mark_w8a8(quantize_flux_int8(params))
+    direct = quantize_flux_w8a8(params)
+    assert jax.tree.structure(via_mark) == jax.tree.structure(direct)
+
+    def collect(node, path=()):
+        if isinstance(node, dict):
+            if "a8" in node:
+                yield path, node["a8"], node["w_int8"]
+            for k, v in node.items():
+                yield from collect(v, path + (k,))
+
+    marks = list(collect(via_mark))
+    assert marks, "no a8 markers placed"
+    for path, a8, w in marks:
+        assert isinstance(a8, np.ndarray) and a8.dtype == np.int8
+        assert a8.shape == w.shape[:-2]  # block-stack lead dims
+        assert path[0] in ("double_blocks", "single_blocks")
+        assert path[-1] in {"qkv", "proj", "0", "2", "linear1", "linear2"}
+    # none outside the block stacks (embedders, final layer, modulations)
+    flat = {"/".join(p) for p, _, _ in marks}
+    assert not any(p.startswith(("img_in", "txt_in", "time_in", "vector_in",
+                                 "guidance_in", "final_layer")) for p in flat)
+
+
 def ml_bf16():
     import ml_dtypes
 

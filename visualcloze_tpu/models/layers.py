@@ -85,11 +85,10 @@ def linear(p: Params, x: jnp.ndarray, lora: Params | None = None, lora_scale=1.0
     if "w_int8" in p and "a8" in p:
         # w8a8 (models/quant.quantize_flux_w8a8): per-token dynamic int8
         # activations x int8 weights -> s32 on the MXU int8 path, rescaled
-        # by act_scale * w_scale. NOTE: measured on v5e the int8 MXU rate
-        # equals bf16 (docs/DESIGN.md) — the double-rate path arrives with
-        # v6e+, which is what this mode targets; on v5e it only halves the
-        # activation operand traffic. The barrier pins the weight load
-        # in-loop exactly like the weight-only branch.
+        # by act_scale * w_scale. Measured on v5e the int8 MXU runs ~1.37x
+        # the bf16 rate, making this 1.34x faster than the weight-only
+        # branch in-model (docs/DESIGN.md). The barrier pins the weight
+        # load in-loop exactly like the weight-only branch.
         from .quant import act_quant_int8
 
         xq, x_scale = act_quant_int8(x)

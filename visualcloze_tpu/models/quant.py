@@ -142,13 +142,14 @@ def init_flux_int8(key: jax.Array, cfg, seed_scale: float = 0.02) -> Params:
 # static "a8" marker key switches models/layers.linear to quantize the
 # activations per token (symmetric absmax over the feature dim) and run the
 # matmul as s8 x s8 -> s32 on the MXU int8 path, rescaling by
-# act_scale * w_scale afterwards. Hardware note: measured on v5e the int8
-# MXU rate EQUALS bf16 (139 TOP/s vs 140 TFLOP/s, docs/DESIGN.md), so on
-# this generation w8a8 only halves activation operand traffic; the
-# double-rate int8 MXU arrives with v6e+, which is the target for this
-# mode. Serving-only and opt-in (--quantize w8a8): per-token activation
-# quantization is the standard quality/throughput tradeoff and, like int4,
-# is gated on real-weight validation (docs/ROADMAP.md).
+# act_scale * w_scale afterwards. Measured on v5e (docs/DESIGN.md): the
+# int8 MXU runs ~1.37x the bf16 rate (167.9 TOP/s vs 122.1 TFLOP/s in the
+# same chained harness), and the 4+8-block DiT slice serves 1.34x faster
+# than weight-only int8 (73.1 vs 98.1 ms/step — 116% of bf16-peak
+# equivalent). Serving-only and opt-in (--quantize w8a8): per-token
+# activation quantization is the standard quality/throughput tradeoff and,
+# like int4, is gated on real-weight validation (docs/ROADMAP.md) —
+# random-weight forward parity is corr 0.9998 / 0.4% mean-rel on TPU.
 
 
 def act_quant_int8(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -168,10 +169,11 @@ def act_quant_int8(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 _A8_KEYS = frozenset({"qkv", "proj", "0", "2", "linear1", "linear2"})
 
 
-def quantize_flux_w8a8(params: Params) -> Params:
-    """Weight tree for w8a8 serving: the int8 weight-only layout plus a
-    static "a8" marker on the double/single-block token-dim linears (pytree
-    keys are static under jit, so layers.linear branches at trace time)."""
+def mark_w8a8(int8_params: Params) -> Params:
+    """Add the static "a8" markers to an ALREADY weight-only-int8 tree (e.g.
+    one loaded from an on-disk serving checkpoint, pipeline/serving.py).
+    Markers are host numpy so marking an mmap'd host tree stays host-side."""
+    import numpy as np
 
     def mark(node, in_blocks, key):
         if isinstance(node, dict):
@@ -181,14 +183,21 @@ def quantize_flux_w8a8(params: Params) -> Params:
                 # marker carries the entry's lead (block-stack) dims so
                 # lax.scan over stacked blocks can slice it like any leaf
                 lead = node["w_int8"].shape[:-2]
-                return dict(node, a8=jnp.zeros(lead, jnp.int8))
+                return dict(node, a8=np.zeros(lead, np.int8))
             return {
                 k: mark(v, in_blocks or k in ("double_blocks", "single_blocks"), k)
                 for k, v in node.items()
             }
         return node
 
-    return mark(quantize_flux_int8(params), False, "")
+    return mark(int8_params, False, "")
+
+
+def quantize_flux_w8a8(params: Params) -> Params:
+    """Weight tree for w8a8 serving: the int8 weight-only layout plus a
+    static "a8" marker on the double/single-block token-dim linears (pytree
+    keys are static under jit, so layers.linear branches at trace time)."""
+    return mark_w8a8(quantize_flux_int8(params))
 
 
 # ----------------------------- int4 (T5 capacity) -----------------------------
