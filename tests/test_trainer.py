@@ -198,6 +198,35 @@ def test_trainer_cli_with_sequence_parallelism(tmp_path):
     assert (tmp_path / "results_cp" / "checkpoints" / "0000001").is_dir()
 
 
+def test_trainer_cli_with_pipeline_parallelism(tmp_path):
+    """One CLI step with --pp 2: GPipe pipelining of the single trunk over a
+    pp mesh axis in the real jitted train step (parallel/pipeline.py; beyond
+    the reference, which has no pipeline parallelism — SURVEY §2.9)."""
+    from visualcloze_tpu.training.train import main
+
+    random.seed(0)
+    config = make_dataset_files(tmp_path)
+    main(
+        [
+            "--data_path", config,
+            "--results_dir", str(tmp_path / "results_pp"),
+            "--tiny", "--init_random",
+            "--max_steps", "1",
+            "--global_bsz", "4",
+            "--micro_bsz", "2",
+            "--grid_resolution", "64",
+            "--lora_rank", "4",
+            "--ckpt_every", "1",
+            "--log_every", "1",
+            "--num_workers", "1",
+            "--max_seq_bucket", "128",
+            "--fsdp", "2", "--pp", "2",
+            "--precision", "fp32",
+        ]
+    )
+    assert (tmp_path / "results_pp" / "checkpoints" / "0000001").is_dir()
+
+
 def test_checkpoint_reshard_on_restore(tmp_path):
     """A checkpoint saved under one mesh restores onto a DIFFERENT mesh with
     the new shardings applied (the reference asserts same world size instead,

@@ -47,6 +47,55 @@ def init_flux(key: jax.Array, cfg: FluxConfig, dtype=jnp.float32) -> Params:
     return params
 
 
+def embed_inputs(
+    cfg: FluxConfig,
+    params: Params,
+    l: Params,
+    img: jnp.ndarray,
+    img_ids: jnp.ndarray,
+    txt: jnp.ndarray,
+    txt_ids: jnp.ndarray,
+    timesteps: jnp.ndarray,
+    y: jnp.ndarray,
+    txt_mask: jnp.ndarray | None,
+    img_mask: jnp.ndarray | None,
+    guidance: jnp.ndarray | None,
+    lora_scale,
+):
+    """The pre-block prologue shared by flux_apply and the pipeline-parallel
+    variant (parallel/pipeline.flux_apply_pp): token embeddings, the
+    modulation vector, RoPE tables, and the concat attention mask.
+
+    Returns (img, txt, vec, pe, attn_mask); attn_mask is None on the
+    no-padding fast path (the flash kernel then skips its bias pass)."""
+    img = layers.linear(params["img_in"], img, l.get("img_in"), lora_scale)
+    vec = layers.mlp_embedder(
+        params["time_in"], timestep_embedding(timesteps, 256), l.get("time_in"), lora_scale
+    )
+    if cfg.guidance_embed:
+        if guidance is None:
+            raise ValueError("guidance_embed model needs a guidance vector")
+        vec = vec + layers.mlp_embedder(
+            params["guidance_in"], timestep_embedding(guidance, 256), l.get("guidance_in"), lora_scale
+        )
+    vec = vec + layers.mlp_embedder(params["vector_in"], y, l.get("vector_in"), lora_scale)
+    txt = layers.linear(params["txt_in"], txt, l.get("txt_in"), lora_scale)
+
+    ids = jnp.concatenate([txt_ids, img_ids], axis=1)
+    pe = embed_nd(ids, cfg.axes_dim, cfg.theta)
+
+    b, txt_len = txt.shape[:2]
+    if txt_mask is None and img_mask is None:
+        attn_mask = None
+    else:
+        if txt_mask is None:
+            txt_mask = jnp.ones((b, txt_len), dtype=jnp.int32)
+        if img_mask is None:
+            img_mask = jnp.ones((b, img.shape[1]), dtype=jnp.int32)
+        attn_mask = jnp.concatenate([txt_mask, img_mask], axis=1)
+    return img, txt, vec, pe, attn_mask
+
+
 def flux_apply(
     cfg: FluxConfig,
     params: Params,
@@ -92,32 +141,11 @@ def flux_apply(
     capture_activations is set).
     """
     l = lora or {}
-    img = layers.linear(params["img_in"], img, l.get("img_in"), lora_scale)
-    vec = layers.mlp_embedder(
-        params["time_in"], timestep_embedding(timesteps, 256), l.get("time_in"), lora_scale
+    img, txt, vec, pe, attn_mask = embed_inputs(
+        cfg, params, l, img, img_ids, txt, txt_ids, timesteps, y,
+        txt_mask, img_mask, guidance, lora_scale,
     )
-    if cfg.guidance_embed:
-        if guidance is None:
-            raise ValueError("guidance_embed model needs a guidance vector")
-        vec = vec + layers.mlp_embedder(
-            params["guidance_in"], timestep_embedding(guidance, 256), l.get("guidance_in"), lora_scale
-        )
-    vec = vec + layers.mlp_embedder(params["vector_in"], y, l.get("vector_in"), lora_scale)
-    txt = layers.linear(params["txt_in"], txt, l.get("txt_in"), lora_scale)
-
-    ids = jnp.concatenate([txt_ids, img_ids], axis=1)
-    pe = embed_nd(ids, cfg.axes_dim, cfg.theta)
-
-    b, txt_len = txt.shape[:2]
-    if txt_mask is None and img_mask is None:
-        # no-padding fast path: the flash kernel skips its bias pass entirely
-        attn_mask = None
-    else:
-        if txt_mask is None:
-            txt_mask = jnp.ones((b, txt_len), dtype=jnp.int32)
-        if img_mask is None:
-            img_mask = jnp.ones((b, img.shape[1]), dtype=jnp.int32)
-        attn_mask = jnp.concatenate([txt_mask, img_mask], axis=1)
+    txt_len = txt.shape[1]
 
     has_lora = "double_blocks" in l
 

@@ -18,7 +18,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-AXES = ("dp", "fsdp", "tp", "cp", "ep")
+AXES = ("pp", "dp", "fsdp", "tp", "cp", "ep")
 
 
 def create_mesh(
@@ -27,20 +27,24 @@ def create_mesh(
     tp: int = 1,
     cp: int = 1,
     ep: int = 1,
+    pp: int = 1,
     devices: list | None = None,
 ) -> Mesh:
-    """Build a (dp, fsdp, tp, cp, ep) mesh over the given (default: all)
+    """Build a (pp, dp, fsdp, tp, cp, ep) mesh over the given (default: all)
     devices. cp = sequence/context parallelism (ring attention,
     ops/ring_attention.py); ep = expert parallelism (MoE-LoRA expert leaves,
     parallel/sharding.py). Both innermost so their collectives (ppermute /
-    expert psum) ride nearest-neighbor ICI links."""
+    expert psum) ride nearest-neighbor ICI links. pp = pipeline parallelism
+    (GPipe microbatching of the single trunk, parallel/pipeline.py) —
+    OUTERMOST: its once-per-tick activation hop is the only axis cheap
+    enough to cross DCN, so pp maps to the slice boundary when multi-slice."""
     devices = devices if devices is not None else jax.devices()
-    n = dp * fsdp * tp * cp * ep
+    n = dp * fsdp * tp * cp * ep * pp
     if n > len(devices):
         raise ValueError(
-            f"mesh {dp}x{fsdp}x{tp}x{cp}x{ep}={n} exceeds {len(devices)} devices"
+            f"mesh {pp}x{dp}x{fsdp}x{tp}x{cp}x{ep}={n} exceeds {len(devices)} devices"
         )
-    arr = np.asarray(devices[:n]).reshape(dp, fsdp, tp, cp, ep)
+    arr = np.asarray(devices[:n]).reshape(pp, dp, fsdp, tp, cp, ep)
     return Mesh(arr, AXES)
 
 

@@ -75,10 +75,21 @@ def flux_param_spec(key_path, leaf, mesh: Mesh) -> P:
 
     fsdp = "fsdp" if mesh.shape["fsdp"] > 1 else None
     tp = "tp" if mesh.shape["tp"] > 1 else None
+    # pp (parallel/pipeline.py) owns the single trunk: its stacked leaves
+    # shard stage-wise on the depth axis (axis 0); everything else is
+    # pp-replicated (the embedders/doubles run data-parallel across pp).
+    pp = (
+        "pp"
+        if mesh.shape.get("pp", 1) > 1 and path[0] == "single_blocks"
+        and shape and shape[0] % mesh.shape["pp"] == 0
+        else None
+    )
 
     if leaf_name in ("w", "w_int8"):  # int8-quantized weights shard like w
         in_dim, out_dim = shape[-2], shape[-1]
         spec: list = [None] * len(shape)
+        if pp:
+            spec[0] = pp
         if kind == "column":
             if tp and _divisible(out_dim, mesh, "tp"):
                 spec[-1] = tp
@@ -101,18 +112,24 @@ def flux_param_spec(key_path, leaf, mesh: Mesh) -> P:
         spec = [None] * len(shape)
         if kind == "column" and tp and _divisible(shape[-1], mesh, "tp"):
             spec[-1] = tp
+        if pp and len(shape) > 1:
+            spec[0] = pp
         return P(*spec)
 
     if leaf_name == "a":  # lora A (in, r): follow fsdp on in-dim
         spec = [None] * len(shape)
         if fsdp and _divisible(shape[-2], mesh, "fsdp"):
             spec[-2] = fsdp
+        if pp and len(shape) > 2:
+            spec[0] = pp
         return P(*spec)
 
     if leaf_name in ("shared_a",):  # MoE-LoRA shared A: like lora A
         spec = [None] * len(shape)
         if fsdp and _divisible(shape[-2], mesh, "fsdp"):
             spec[-2] = fsdp
+        if pp and len(shape) > 2:
+            spec[0] = pp
         return P(*spec)
 
     if leaf_name in ("expert_a", "expert_b"):
@@ -122,11 +139,17 @@ def flux_param_spec(key_path, leaf, mesh: Mesh) -> P:
         ep = "ep" if mesh.shape.get("ep", 1) > 1 else None
         if ep and _divisible(shape[-3], mesh, "ep"):
             spec[-3] = ep
+        if pp and len(shape) > 3:
+            spec[0] = pp
         return P(*spec)
 
-    # norm scales and anything else: replicated
+    # norm scales and anything else: replicated (stage-sharded on the
+    # stacked axis under pp)
     del stacked
-    return P(*([None] * len(shape)))
+    spec = [None] * len(shape)
+    if pp and len(shape) > 1:
+        spec[0] = pp
+    return P(*spec)
 
 
 def make_flux_shardings(params: Params, mesh: Mesh) -> Params:

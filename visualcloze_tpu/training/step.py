@@ -110,6 +110,8 @@ def make_train_step(
     remat: bool = True,
     remat_policy: str | None = "dots",
     compute_dtype=jnp.bfloat16,
+    mesh=None,
+    pp_microbatches: int | None = None,
 ):
     """Build the jitted train step.
 
@@ -121,12 +123,20 @@ def make_train_step(
     for no accumulation — and scans micro-batches, averaging gradients
     (ref train.py:606-636).
 
+    mesh/pp_microbatches: when the mesh has a pp axis > 1, the forward runs
+    through parallel/pipeline.flux_apply_pp (GPipe pipelining of the single
+    trunk) with micro_bs split into pp_microbatches (default pp) per
+    micro-batch; the backward is the reverse pipeline via jax.grad.
+
     Batch dict fields: x1 (clean tokens), cond (conditioning tokens),
     img_ids, img_mask, txt, txt_ids, txt_mask, vec.
     """
     if training_type not in TRAINING_TYPES:
         raise ValueError(training_type)
     is_lora = training_type == "lora"
+    use_pp = mesh is not None and mesh.shape.get("pp", 1) > 1
+    if use_pp and pp_microbatches is None:
+        pp_microbatches = mesh.shape["pp"]
 
     def cast(tree):
         return jax.tree.map(
@@ -140,6 +150,20 @@ def make_train_step(
         clora = cast(lora) if lora is not None else None
 
         def model_fn(img, timesteps, **kw):
+            if use_pp:
+                from ..parallel.pipeline import flux_apply_pp
+
+                return flux_apply_pp(
+                    cfg, cparams, mesh,
+                    microbatches=pp_microbatches,
+                    img=img.astype(compute_dtype),
+                    timesteps=timesteps,
+                    lora=clora,
+                    attn_impl=attn_impl,
+                    remat=remat,
+                    remat_policy=remat_policy,
+                    **kw,
+                )
             return flux_apply(
                 cfg, cparams,
                 img=img.astype(compute_dtype),

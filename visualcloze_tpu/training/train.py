@@ -93,6 +93,13 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--cp", type=int, default=1,
                    help="sequence/context parallelism: ring attention over a "
                         "cp mesh axis (requires seq bucket divisible by cp)")
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline parallelism: GPipe microbatching of the "
+                        "single-block trunk over a pp mesh axis "
+                        "(parallel/pipeline.py; 38 %% pp == 0)")
+    p.add_argument("--pp_microbatches", type=int, default=0,
+                   help="pipeline microbatches per micro-batch (0 = pp); "
+                        "micro_bsz %% pp_microbatches == 0")
     # checkpointing / resume
     p.add_argument("--ckpt_every", type=int, default=1000)
     p.add_argument("--log_every", type=int, default=10)
@@ -125,10 +132,13 @@ def main(argv=None) -> None:
     enable_compilation_cache()
 
     n_dev = len(jax.devices())
-    fsdp = args.fsdp or max(1, n_dev // (args.dp * args.tp * args.cp * args.ep))
-    mesh = create_mesh(dp=args.dp, fsdp=fsdp, tp=args.tp, cp=args.cp, ep=args.ep)
-    logger.info("mesh: dp=%d fsdp=%d tp=%d cp=%d ep=%d over %d devices",
-                args.dp, fsdp, args.tp, args.cp, args.ep, n_dev)
+    fsdp = args.fsdp or max(
+        1, n_dev // (args.dp * args.tp * args.cp * args.ep * args.pp)
+    )
+    mesh = create_mesh(dp=args.dp, fsdp=fsdp, tp=args.tp, cp=args.cp,
+                       ep=args.ep, pp=args.pp)
+    logger.info("mesh: pp=%d dp=%d fsdp=%d tp=%d cp=%d ep=%d over %d devices",
+                args.pp, args.dp, fsdp, args.tp, args.cp, args.ep, n_dev)
 
     # ----- models -----
     spec = configs[args.model_name]
@@ -212,6 +222,8 @@ def main(argv=None) -> None:
             remat_policy=None if args.remat_policy == "full" else args.remat_policy,
             compute_dtype=compute_dtype,
             attn_impl=attn_impl,
+            mesh=mesh if args.pp > 1 else None,
+            pp_microbatches=args.pp_microbatches or None,
         ),
         donate_argnums=(0,),
     )
