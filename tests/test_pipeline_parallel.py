@@ -35,13 +35,28 @@ def make_inputs(b=4, l_img=16, l_txt=8, seed=0, masked=True):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("pp,dp,microbatches", [(2, 1, 2), (2, 1, 4), (2, 2, 4)])
-def test_pp_forward_matches_sequential(pp, dp, microbatches):
+@pytest.mark.parametrize(
+    "pp,axes,microbatches",
+    [
+        (2, {"dp": 1}, 2),
+        (2, {"dp": 1}, 4),
+        (2, {"dp": 2}, 4),
+        # fsdp within a stage: shard_map in_specs carry the real fsdp dims,
+        # blocks all-gather their weight shards just-in-time
+        (2, {"fsdp": 2}, 2),
+        (2, {"dp": 2, "fsdp": 2}, 2),
+        # tp within the trunk: parameter-memory sharding only (compute
+        # replicated across tp ranks)
+        (2, {"tp": 2}, 2),
+    ],
+)
+def test_pp_forward_matches_sequential(pp, axes, microbatches):
     params = init_flux(jax.random.PRNGKey(0), CFG)
+    dp = axes.get("dp", 1) * axes.get("fsdp", 1)
     inp = make_inputs(b=8 if dp > 1 else 4)
     want = np.asarray(flux_apply(CFG, params, **inp, attn_impl="xla"))
 
-    mesh = create_mesh(pp=pp, dp=dp)
+    mesh = create_mesh(pp=pp, **axes)
     got = np.asarray(
         jax.jit(
             lambda p, i: flux_apply_pp(
@@ -71,12 +86,12 @@ def test_pp_forward_no_mask_fast_path():
 @pytest.mark.slow
 def test_pp_gradients_match_sequential():
     """jax.grad through the tick scan is the reverse pipeline — LoRA grads
-    (incl. the pp-sharded single-trunk factors) must match the sequential
-    model's."""
+    (incl. the pp+fsdp-sharded single-trunk factors, whose reduce-scatter
+    is the all_gather transpose) must match the sequential model's."""
     params = init_flux(jax.random.PRNGKey(0), CFG)
     lora = init_lora(jax.random.PRNGKey(1), params, rank=4)
     inp = make_inputs(b=8)
-    mesh = create_mesh(pp=2, dp=2)
+    mesh = create_mesh(pp=2, fsdp=2)
 
     def loss_seq(lo):
         out = flux_apply(CFG, params, **inp, lora=lo, attn_impl="xla")

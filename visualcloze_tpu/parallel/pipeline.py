@@ -27,16 +27,24 @@ forward and backward — jax.grad differentiates the tick scan, so the
 backward is automatically the reverse pipeline. Inactive ticks compute on
 zeros and are `where`-masked; their cotangents are zero by the same mask.
 
-Memory notes (v1, documented tradeoffs):
+Memory notes (documented tradeoffs):
   - inputs and side inputs (vec, RoPE tables, mask) are all-gathered over
     pp inside the shard_map body so stage 0 can feed any microbatch and
     every stage can index its side inputs — ~2 x the trunk activation
     footprint per device at M microbatches.
-  - pp shards the single-trunk parameters (axis 0 of the stacked leaves,
-    parallel/sharding.py) but NOT the embedders/doubles — compose with
-    fsdp/tp for parameter memory within a stage (the doubles phase is
-    plain GSPMD and already composes; the trunk runs them as pure batch
-    axes).
+  - pp shards the single-trunk parameters stage-wise (axis 0 of the
+    stacked leaves) AND keeps the fsdp/tp dims of flux_param_spec sharded
+    within each stage: the shard_map in_specs are the real global specs,
+    and each block's weights are all-gathered just-in-time inside the
+    stage scan (manual FSDP — the backward's reduce-scatter is the
+    transpose of the tiled all_gather). Per-device trunk parameter
+    memory is therefore size / (pp * fsdp * tp), at the cost of
+    re-gathering per microbatch tick — the same per-use gather schedule
+    GSPMD emits for FSDP under gradient accumulation.
+  - tp inside the trunk contributes parameter-memory sharding only (the
+    microbatch compute is replicated across tp ranks; batch rides
+    (dp, fsdp)). The doubles/embedders phase is plain GSPMD where tp is
+    the usual megatron compute axis.
 """
 
 from __future__ import annotations
@@ -50,6 +58,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import FluxConfig
 from ..models import layers
 from ..models.flux import embed_inputs
+from .sharding import flux_param_spec
 
 Params = dict[str, Any]
 
@@ -60,6 +69,42 @@ def _batch_axes(mesh: Mesh) -> tuple[str, ...]:
     return tuple(
         a for a in ("dp", "fsdp") if a in mesh.axis_names and mesh.shape[a] > 1
     )
+
+
+def _trunk_specs(tree: Params | None, mesh: Mesh) -> Params | None:
+    """Global PartitionSpecs for the stacked single-trunk leaves (params or
+    LoRA): flux_param_spec under the 'single_blocks' path prefix — pp on the
+    stacked depth axis plus the usual fsdp/tp weight-dim sharding."""
+    if tree is None:
+        return None
+    prefix = (jax.tree_util.DictKey("single_blocks"),)
+    return jax.tree_util.tree_map_with_path(
+        lambda kp, leaf: flux_param_spec(prefix + tuple(kp), leaf, mesh), tree
+    )
+
+
+def _gather_block(tree: Params | None, specs: Params | None):
+    """Inside the shard_map body: reconstruct one block's full weights from
+    their per-device shards. `specs` are the STACKED-leaf specs; the block
+    leaf has lost axis 0 (the depth/pp axis), so spec entry d applies to
+    block dim d-1. The transpose of each tiled all_gather is a
+    psum_scatter — the backward emits the FSDP reduce-scatter for free."""
+    if tree is None:
+        return None
+
+    def g(leaf, spec):
+        for dim, names in enumerate(spec):
+            if dim == 0 or names is None:
+                continue
+            for ax in names if isinstance(names, tuple) else (names,):
+                if ax == "pp":
+                    continue
+                leaf = jax.lax.all_gather(leaf, ax, axis=dim - 1, tiled=True)
+        return leaf
+
+    flat, treedef = jax.tree.flatten(tree)
+    flat_s = jax.tree.leaves(specs, is_leaf=lambda x: isinstance(x, P))
+    return jax.tree.unflatten(treedef, [g(l, s) for l, s in zip(flat, flat_s)])
 
 
 def pipeline_single_trunk(
@@ -119,10 +164,8 @@ def pipeline_single_trunk(
     baxes = _batch_axes(mesh)
     bspec = baxes if baxes else None
     data_spec = P("pp", bspec)  # microbatches over pp, batch over data axes
-    param_specs = jax.tree.map(lambda _: P("pp"), sparams)
-    lora_specs = (
-        jax.tree.map(lambda _: P("pp"), slora) if slora is not None else None
-    )
+    param_specs = _trunk_specs(sparams, mesh)
+    lora_specs = _trunk_specs(slora, mesh)
 
     perm = [(i, (i + 1) % pp) for i in range(pp)]
 
@@ -137,6 +180,9 @@ def pipeline_single_trunk(
         def stage(x, vec_mb, cos_mb, sin_mb, mask_mb):
             def blk(x, xs):
                 bp, bl = xs
+                # just-in-time FSDP gather of this block's weight shards
+                bp = _gather_block(bp, param_specs)
+                bl = _gather_block(bl, lora_specs)
                 x = layers.single_block(
                     cfg, bp, x, vec_mb, (cos_mb, sin_mb), mask_mb,
                     bl, lora_scale, attn_impl, rope_layout,
