@@ -21,6 +21,10 @@ reference runs by default (ref visualcloze.py:247-255; SURVEY.md §3.2/§3.3):
      stage-1 (3456+512 tokens, 29 integrator steps) and stage-2 (4096+512
      tokens, 9 steps at strength 0.4) — the second program's parameter
      layouts are pinned to the first's so no relayout copy is possible.
+     The w8a8 variants of both buckets are ALSO measured against the same
+     tree (markers injected in-trace, same parameter signature + Formats):
+     int8 activations on the v5e MXU's ~1.37x int8 rate. Quality-gated
+     (random-weight parity only), so reported alongside, not as headline.
 
 Headline: default query = (T + V + B1) + (T + 2xW_enc + B2 + W_dec).
 Serving topology note: T5-XXL bf16 (~9.5 GB) cannot co-reside with the int8
@@ -323,7 +327,7 @@ def bench_bf16_slice(ts) -> dict:
     return {"extrapolated": extrap, "mfu": mfu, "full_flops": full_fl}
 
 
-def bench_int8_full(ts, ts2) -> tuple[float, float] | None:
+def bench_int8_full(ts, ts2) -> tuple[float, float, float, float] | None:
     """Phase B: the real single-chip serving path — FULL 12B int8 weights
     from an on-disk checkpoint, format-matched per-leaf device_put
     (pipeline/serving.py), loaded ONCE; then BOTH denoise buckets measured
@@ -347,14 +351,6 @@ def bench_int8_full(ts, ts2) -> tuple[float, float] | None:
                   "(one-time, ~12 GB)...", file=sys.stderr)
             build_synthetic_int8_checkpoint(cfg, ckpt)
         host = load_params_dir(ckpt)
-        if os.environ.get("BENCH_W8A8", "0") == "1":
-            # opt-in: serve the same on-disk int8 weights through the w8a8
-            # path (int8 activations on the ~1.37x v5e int8 MXU,
-            # docs/DESIGN.md). Markers are host numpy — the tree stays mmap'd.
-            from visualcloze_tpu.models.quant import mark_w8a8
-
-            host = mark_w8a8(host)
-            print("B) BENCH_W8A8=1: serving through the w8a8 path", file=sys.stderr)
 
         inp = make_inputs(cfg)
         run = make_run(cfg, inp, rope_layout="interleaved")
@@ -377,6 +373,30 @@ def bench_int8_full(ts, ts2) -> tuple[float, float] | None:
         )
         fmts2 = compiled2.input_formats[0]
 
+        # w8a8 variants of BOTH buckets against the SAME device tree: the
+        # markers (models/quant.mark_w8a8) are injected INSIDE the traced
+        # function, so the executables share the weight-only programs'
+        # parameter signature and their layouts pin to the same Formats —
+        # int8 activations then ride the v5e MXU's ~1.37x int8 rate
+        # (docs/DESIGN.md; quality-gated, reported alongside the headline).
+        from visualcloze_tpu.models.quant import mark_w8a8
+
+        def as_w8a8(fn):
+            return lambda p, x, t: fn(mark_w8a8(p), x, t)
+
+        compiled_w8 = (
+            jax.jit(as_w8a8(run), in_shardings=(fmts[0], None, None))
+            .lower(*jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), (host, x1, ts1_h)
+            ))
+            .compile()
+        )
+        compiled2_w8 = (
+            jax.jit(as_w8a8(run2), in_shardings=(fmts[0], None, None))
+            .lower(*abstract2)
+            .compile()
+        )
+
         dev_params = device_put_with_formats(host, fmts[0])
         dev_x, dev_ts = (device_put_with_formats(a, f) for a, f in zip((x1, ts1_h), fmts[1:]))
         dev_x2, dev_ts2 = (device_put_with_formats(a, f) for a, f in zip((x2, ts2_h), fmts2[1:]))
@@ -385,6 +405,10 @@ def bench_int8_full(ts, ts2) -> tuple[float, float] | None:
         t_load = time.perf_counter() - t_load0
         p50 = _time3(compiled, dev_params, dev_x, dev_ts)
         p50_2 = _time3(compiled2, dev_params, dev_x2, dev_ts2)
+        _sync(compiled_w8(dev_params, dev_x, dev_ts))
+        _sync(compiled2_w8(dev_params, dev_x2, dev_ts2))
+        p50_w8 = _time3(compiled_w8, dev_params, dev_x, dev_ts)
+        p50_2_w8 = _time3(compiled2_w8, dev_params, dev_x2, dev_ts2)
     except Exception as e:  # pragma: no cover - hardware dependent
         print(f"B) FULL 12B int8 unavailable ({type(e).__name__}: {e}); "
               "falling back to extrapolated headline", file=sys.stderr)
@@ -394,9 +418,13 @@ def bench_int8_full(ts, ts2) -> tuple[float, float] | None:
           f"{n1}-step query ({p50 / n1 * 1e3:.0f} ms/step); stage-2 {p50_2:.2f}s / "
           f"{n2}-step SDEdit ({p50_2 / n2 * 1e3:.0f} ms/step; compile+load "
           f"{t_load:.0f}s one-time)", file=sys.stderr)
-    del compiled, compiled2, dev_params, dev_x, dev_ts, dev_x2, dev_ts2, host
+    print(f"B) same tree via w8a8 (opt-in, quality-gated): stage-1 {p50_w8:.2f}s "
+          f"({p50_w8 / n1 * 1e3:.0f} ms/step); stage-2 {p50_2_w8:.2f}s "
+          f"({p50_2_w8 / n2 * 1e3:.0f} ms/step)", file=sys.stderr)
+    del (compiled, compiled2, compiled_w8, compiled2_w8, dev_params, dev_x,
+         dev_ts, dev_x2, dev_ts2, host)
     _free()
-    return p50, p50_2
+    return p50, p50_2, p50_w8, p50_2_w8
 
 
 def main() -> None:
@@ -433,13 +461,18 @@ def main() -> None:
         slice_res["full_flops"] * n1 + aux1_fl + dit2_fl * n2 + aux2_fl
     ) / V5E_PEAK_BF16
 
+    w8_note = ""
     if int8_res is not None:
-        den1, den2 = int8_res
+        den1, den2, den1_w8, den2_w8 = int8_res
         kind = "measured"
+        e2e_w8 = (t_text + t_vae + den1_w8) + (t_text + 2 * t_enc2 + den2_w8 + t_dec2)
+        w8_note = (f"; w8a8 opt-in {round(e2e_w8, 3)}s "
+                   f"({round(sol / e2e_w8, 4)} of SOL, quality-gated)")
     else:
         den1 = slice_res["extrapolated"]
         den2 = den1 * (dit2_fl * n2) / (slice_res["full_flops"] * n1)
         kind = "FLOPs-extrapolated"
+        e2e_w8 = None
     e2e_base = t_text + t_vae + den1
     e2e_up = t_text + 2 * t_enc2 + den2 + t_dec2
     e2e = e2e_base + e2e_up
@@ -448,7 +481,8 @@ def main() -> None:
         f"{den1:.2f}s = {e2e_base:.2f}s) + SDEdit (text {t_text:.2f}s + "
         f"2x encode {2 * t_enc2:.2f}s + denoise {den2:.2f}s + decode {t_dec2:.2f}s "
         f"= {e2e_up:.2f}s) = {e2e:.2f}s; throughput {1.0 / e2e:.4f} img/s/chip; "
-        f"SOL {sol:.2f}s",
+        f"SOL {sol:.2f}s"
+        + (f"; w8a8 e2e {e2e_w8:.2f}s ({sol / e2e_w8:.4f} of SOL)" if e2e_w8 else ""),
         file=sys.stderr,
     )
     print(
@@ -456,8 +490,8 @@ def main() -> None:
             {
                 "metric": "p50 end-to-end DEFAULT query latency (is_upsampling=True): "
                           f"384-grid 2x3 / {n1} steps + 1024^2 SDEdit / {n2} steps "
-                          f"(T5+CLIP+VAE bf16 + 12B DiT int8, 1 chip, {kind}); "
-                          f"base-only {round(e2e_base, 3)}s",
+                          f"(T5+CLIP+VAE bf16 + 12B DiT int8 weight-only, 1 chip, "
+                          f"{kind}); base-only {round(e2e_base, 3)}s" + w8_note,
                 "value": round(e2e, 3),
                 "unit": "s",
                 "vs_baseline": round(sol / e2e, 4),
