@@ -46,7 +46,8 @@ def parse_args(argv=None):
                    help="shard the DiT over N tensor-parallel devices (multi-chip serving)")
     p.add_argument("--fsdp", type=int, default=1,
                    help="additionally shard DiT weights over N fsdp devices")
-    p.add_argument("--quantize", default=None, choices=[None, "int8", "w8a8"],
+    p.add_argument("--quantize", default=None,
+                   choices=[None, "int8", "w8a8", "w8a8_smooth"],
                    help="int8 DiT: weight-only (int8) or dynamic-activation "
                         "int8 MXU compute (w8a8; single-chip 12B serving)")
     return p.parse_args(argv)
@@ -82,6 +83,17 @@ def main(argv=None):
 
         model = random_components(jax.random.PRNGKey(0), tiny=True, resolution=64, mesh=mesh)
         model.solver = args.solver
+        if args.quantize == "w8a8_smooth":
+            model.calibrate_w8a8_smooth(steps=4, stride=2)
+        elif args.quantize:
+            from visualcloze_tpu.models.quant import (
+                quantize_flux_int8,
+                quantize_flux_w8a8,
+            )
+
+            model.params = {
+                "int8": quantize_flux_int8, "w8a8": quantize_flux_w8a8,
+            }[args.quantize](model.params)
         if not args.rows:
             blank = Image.new("RGB", (64, 64), (120, 180, 90))
             tmp = "/tmp/_vc_demo.png"

@@ -134,3 +134,39 @@ def test_multi_masked_cells(model):
     prompts = ["layout", "task", "content"]
     out = model.process_images(images, prompts, seed=9, steps=2, is_upsampling=False)
     assert len(out) == 2
+
+
+@pytest.mark.slow
+def test_w8a8_smooth_calibrate_and_serve():
+    """calibrate_w8a8_smooth on a live pipeline: stats collected over a real
+    denoise trajectory, params swapped for the equalized w8a8 tree, and
+    process_images still serves (pipeline-level SmoothQuant path)."""
+    from visualcloze_tpu.pipeline import random_components
+
+    m = random_components(jax.random.PRNGKey(0), tiny=True, resolution=64,
+                          attn_impl="xla")
+    images = [
+        [make_img(64, 64, (255, 0, 0)), make_img(64, 64, (0, 255, 0))],
+        [make_img(64, 64, (0, 0, 255)), None],
+    ]
+    prompts = ["grid layout", "task",
+               "The content of the last image in the final row is: x"]
+    m.set_grid_size(2, 2)
+    ref = m.process_images(images, prompts, seed=7, cfg=4.0, steps=3,
+                           is_upsampling=False)
+
+    stats = m.calibrate_w8a8_smooth(steps=3, stride=2)
+    assert stats is not None and all(
+        np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(stats)
+    )
+    # the tree now carries a8 + a_sinv markers on the block token-dim linears
+    sb = m.params["single_blocks"]["linear1"]
+    assert "a8" in sb and "a_sinv" in sb and "w_int8" in sb
+
+    out = m.process_images(images, prompts, seed=7, cfg=4.0, steps=3,
+                           is_upsampling=False)
+    a = np.asarray(ref[0], np.float32) / 255.0
+    b = np.asarray(out[0], np.float32) / 255.0
+    assert b.shape == a.shape and np.isfinite(b).all()
+    # same seed, quantized weights: outputs stay close on the tiny model
+    assert np.abs(a - b).mean() < 0.15

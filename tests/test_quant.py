@@ -311,3 +311,131 @@ def test_flux_int4_forward():
     assert got.shape == ref.shape and np.isfinite(got).all()
     rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
     assert rel < 0.35, rel  # random weights = quantization worst case
+
+
+# ------------------- SmoothQuant equalization (w8a8) -------------------
+
+
+def _flux_inp(rng, b=1, l_img=8, l_txt=4):
+    inp = dict(
+        img=jnp.asarray(rng.standard_normal((b, l_img, CFG.in_channels)), jnp.float32),
+        img_ids=jnp.zeros((b, l_img, 3)),
+        txt=jnp.asarray(rng.standard_normal((b, l_txt, CFG.context_in_dim)), jnp.float32),
+        txt_ids=jnp.zeros((b, l_txt, 3)),
+        timesteps=jnp.full((b,), 0.5),
+        y=jnp.asarray(rng.standard_normal((b, CFG.vec_in_dim)), jnp.float32),
+    )
+    if CFG.guidance_embed:
+        inp["guidance"] = jnp.full((b,), 4.0)
+    return inp
+
+
+def test_collect_a8_stats_structure_and_values():
+    """flux_apply(collect_a8_stats=True) returns per-entry (depth, in) absmax
+    stats covering exactly the six token-dim linear classes, and the stats
+    are true absmaxes (non-negative, finite)."""
+    params = init_flux(jax.random.PRNGKey(0), CFG)
+    rng = np.random.default_rng(5)
+    inp = _flux_inp(rng)
+    out, stats = flux_apply(CFG, params, **inp, attn_impl="xla", collect_a8_stats=True)
+    assert out.shape == (1, 8, CFG.out_channels)
+
+    d, s = stats["double_blocks"], stats["single_blocks"]
+    h, mh = CFG.hidden_size, CFG.mlp_hidden_dim
+    D, S = CFG.depth, CFG.depth_single_blocks
+    assert set(d) == {"img_attn", "txt_attn", "img_mlp", "txt_mlp"}
+    assert set(d["img_attn"]) == {"qkv", "proj"} and set(d["img_mlp"]) == {"0", "2"}
+    assert d["img_attn"]["qkv"].shape == (D, h)
+    assert d["img_mlp"]["2"].shape == (D, mh)
+    assert set(s) == {"linear1", "linear2"}
+    assert s["linear1"].shape == (S, h) and s["linear2"].shape == (S, h + mh)
+    for leaf in jax.tree.leaves(stats):
+        a = np.asarray(leaf)
+        assert np.isfinite(a).all() and (a >= 0).all() and a.max() > 0
+
+
+def test_smooth_scales_exactness_in_fp():
+    """The equalization is exact in floating point:
+    (x * 1/s) @ (s * w) == x @ w."""
+    from visualcloze_tpu.models.quant import smooth_scales
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((32, 48)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((48, 24)) * 0.05, jnp.float32)
+    s = smooth_scales(jnp.max(jnp.abs(x), axis=0), w)
+    assert s.shape == (48,) and np.asarray(s).min() > 0
+    got = ((x / s) @ (w * s[:, None])).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(x @ w), rtol=2e-5, atol=2e-5)
+
+
+def test_smooth_reduces_outlier_quant_error():
+    """The point of SmoothQuant: per-token int8 is dominated by per-channel
+    outliers; migrating them into the weights must cut the matmul error by
+    a large factor on an outlier-heavy distribution."""
+    from visualcloze_tpu.models.layers import linear
+    from visualcloze_tpu.models.quant import (
+        quantize_linear_int8,
+        smooth_scales,
+    )
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((64, 96)).astype(np.float32)
+    x[:, :4] *= 60.0  # a few systematically huge channels (LLM/DiT outliers)
+    w = (rng.standard_normal((96, 64)) * 0.05).astype(np.float32)
+    xj, p = jnp.asarray(x), {"w": jnp.asarray(w)}
+    want = x @ w
+
+    q_plain = dict(quantize_linear_int8(p), a8=jnp.zeros((), jnp.int8))
+    err_plain = np.abs(np.asarray(linear(q_plain, xj), np.float32) - want).mean()
+
+    s = smooth_scales(jnp.max(jnp.abs(xj), axis=0), p["w"])
+    q_s = dict(
+        quantize_linear_int8({"w": p["w"] * s[:, None]}),
+        a8=jnp.zeros((), jnp.int8),
+        a_sinv=(1.0 / s).astype(jnp.float32),
+    )
+    err_smooth = np.abs(np.asarray(linear(q_s, xj), np.float32) - want).mean()
+    assert err_smooth < 0.5 * err_plain, (err_smooth, err_plain)
+
+
+def test_flux_w8a8_smooth_forward_close():
+    """Calibrate -> smooth-quantize -> forward: structure matches plain w8a8
+    plus a_sinv leaves, and output error stays within the plain-w8a8 bound
+    (random weights have no outliers, so parity — the win case is covered by
+    test_smooth_reduces_outlier_quant_error)."""
+    from visualcloze_tpu.models.quant import (
+        calibrate_flux_a8,
+        quantize_flux_w8a8,
+        quantize_flux_w8a8_smooth,
+    )
+
+    params = init_flux(jax.random.PRNGKey(0), CFG)
+    rng = np.random.default_rng(8)
+    inp = _flux_inp(rng)
+    stats = calibrate_flux_a8(CFG, params, [inp], attn_impl="xla")
+    q = quantize_flux_w8a8_smooth(params, stats)
+
+    # every a8-marked entry carries a matching a_sinv
+    def walk(node, path=()):
+        if isinstance(node, dict):
+            if "a8" in node:
+                yield path, node
+            for k, v in node.items():
+                yield from walk(v, path + (k,))
+
+    marked = list(walk(q))
+    assert marked
+    for path, node in marked:
+        assert "a_sinv" in node, path
+        assert node["a_sinv"].shape == node["w_int8"].shape[:-1], path
+
+    ref = np.asarray(flux_apply(CFG, params, **inp, attn_impl="xla"), np.float32)
+    got = np.asarray(flux_apply(CFG, q, **inp, attn_impl="xla"), np.float32)
+    qp = quantize_flux_w8a8(params)
+    got_plain = np.asarray(flux_apply(CFG, qp, **inp, attn_impl="xla"), np.float32)
+    denom = max(np.abs(ref).max(), 1e-6)
+    err_s = np.abs(got - ref).mean() / denom
+    err_p = np.abs(got_plain - ref).mean() / denom
+    assert err_s < max(1.2 * err_p, 0.2), (err_s, err_p)
+    corr = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
+    assert corr > 0.97

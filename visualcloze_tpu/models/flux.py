@@ -116,6 +116,7 @@ def flux_apply(
     remat_policy: str | None = None,
     rope_layout: str = "interleaved",
     capture_activations: bool = False,
+    collect_a8_stats: bool = False,
 ) -> jnp.ndarray | tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
     """Forward pass (ref: models/model.py:85-124).
 
@@ -136,10 +137,17 @@ def flux_apply(
         Returns (out, {"embed_img", "embed_txt", "vec", "double_img"
         (depth, B, L_img, H), "double_txt", "single" (depth_s, B, L, H),
         "out"}). Memory: depth x (B, L, 3072) — use with small/offline runs.
+      collect_a8_stats: instead return (out, stats) where stats holds the
+        per-input-channel absmax of every token-dim block linear's input
+        (stacked (depth, in) per entry) — the SmoothQuant calibration pass
+        (models/quant.calibrate_flux_a8). Mutually exclusive with remat and
+        capture_activations.
 
     Returns: (B, L_img, out_channels) velocity tokens (or a tuple when
-    capture_activations is set).
+    capture_activations / collect_a8_stats is set).
     """
+    if collect_a8_stats and (capture_activations or remat):
+        raise ValueError("collect_a8_stats is a standalone calibration mode")
     l = lora or {}
     img, txt, vec, pe, attn_mask = embed_inputs(
         cfg, params, l, img, img_ids, txt, txt_ids, timesteps, y,
@@ -166,18 +174,26 @@ def flux_apply(
     def dbody(carry, xs):
         bp, bl = xs
         i, t = carry
-        i, t = layers.double_block(
+        r = layers.double_block(
             cfg, bp, i, t, vec, pe, attn_mask, bl, lora_scale, attn_impl, rope_layout,
-            seg=seg,
+            seg=seg, collect_stats=collect_a8_stats,
         )
+        if collect_a8_stats:
+            (i, t), st = r
+            return (i, t), st
+        i, t = r
         return (i, t), ((i, t) if capture_activations else None)
 
     def sbody(x, xs):
         bp, bl = xs
-        x = layers.single_block(
+        r = layers.single_block(
             cfg, bp, x, vec, pe, attn_mask, bl, lora_scale, attn_impl, rope_layout,
-            seg=seg,
+            seg=seg, collect_stats=collect_a8_stats,
         )
+        if collect_a8_stats:
+            x, st = r
+            return x, st
+        x = r
         return x, (x if capture_activations else None)
 
     if remat and remat_policy != "dots_split":
@@ -202,6 +218,8 @@ def flux_apply(
     out = layers.last_layer(
         params["final_layer"], img, vec, l.get("final_layer"), lora_scale
     )
+    if collect_a8_stats:
+        return out, {"double_blocks": d_ys, "single_blocks": s_ys}
     if capture_activations:
         acts["double_img"], acts["double_txt"] = d_ys
         acts["single"] = s_ys

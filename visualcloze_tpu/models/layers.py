@@ -91,7 +91,13 @@ def linear(p: Params, x: jnp.ndarray, lora: Params | None = None, lora_scale=1.0
         # load in-loop exactly like the weight-only branch.
         from .quant import act_quant_int8
 
-        xq, x_scale = act_quant_int8(x)
+        # SmoothQuant equalization (models/quant.quantize_flux_w8a8_smooth):
+        # the quantized matmul computes (x * a_sinv) @ (s * w) == x @ w with
+        # activation outliers migrated into the weights; the divide fuses
+        # into the quantize's elementwise chain. LoRA below still sees the
+        # original x.
+        xs = x.astype(jnp.float32) * p["a_sinv"] if "a_sinv" in p else x
+        xq, x_scale = act_quant_int8(xs)
         w8 = jax.lax.optimization_barrier(p["w_int8"])
         acc = jnp.einsum(
             "...i,io->...o", xq, w8, preferred_element_type=jnp.int32
@@ -176,6 +182,13 @@ def modulation(p: Params, vec: jnp.ndarray, double: bool, lora: Params | None = 
     return m1, m2
 
 
+def _absmax_in(t: jnp.ndarray) -> jnp.ndarray:
+    """Per-input-channel absmax over batch+seq: (..., in) -> (in,) fp32.
+    Calibration statistic for SmoothQuant activation equalization
+    (models/quant.smooth_scales)."""
+    return jnp.max(jnp.abs(t.astype(jnp.float32)), axis=tuple(range(t.ndim - 1)))
+
+
 def _split_heads(qkv: jnp.ndarray, num_heads: int):
     """(B, L, 3*H*D) -> three (B, H, L, D); feature order (k, h, d) matches
     the reference rearrange "B L (K H D) -> K B H L D"."""
@@ -201,6 +214,7 @@ def double_block(
     attn_impl: str = "auto",
     rope_layout: str = "interleaved",
     seg=None,
+    collect_stats: bool = False,
 ):
     """DoubleStreamBlock (ref layers.py:129-196): separate img/txt streams with
     joint attention over concat(txt, img).
@@ -211,12 +225,24 @@ def double_block(
     residuals (rotated q/k, v, o, lse) are stored rather than recomputed in
     the backward — the recompute elimination docs/PROFILE.md identifies.
     RoPE is applied inside the first segment so the rotated q/k double as the
-    kernel residuals instead of duplicating them."""
+    kernel residuals instead of duplicating them.
+
+    collect_stats: additionally return the per-input-channel absmax of each
+    token-dim linear's input (SmoothQuant calibration,
+    models/quant.calibrate_flux_a8); incompatible with seg."""
     l = lora or {}
     txt_len = txt.shape[1]
+    if collect_stats and seg is not None:
+        raise ValueError("collect_stats is a calibration (no-remat) mode")
+    stats: dict | None = {} if collect_stats else None
 
-    def qkv_stream(stream_p, stream_l, x, mod):
+    def rec(mod_key, leaf_key, t):
+        if stats is not None:
+            stats.setdefault(mod_key, {})[leaf_key] = _absmax_in(t)
+
+    def qkv_stream(name, stream_p, stream_l, x, mod):
         x_mod = (1.0 + mod["scale"]) * layer_norm(x) + mod["shift"]
+        rec(name, "qkv", x_mod)
         qkv = linear(stream_p["qkv"], x_mod, stream_l.get("qkv"), lora_scale)
         q, k, v = _split_heads(qkv, cfg.num_heads)
         q, k = qk_norm(stream_p["norm"], q, k, v)
@@ -225,8 +251,8 @@ def double_block(
     def pre(img, txt):
         img_mod1, img_mod2 = modulation(p["img_mod"], vec, True, l.get("img_mod", {}).get("lin"), lora_scale)
         txt_mod1, txt_mod2 = modulation(p["txt_mod"], vec, True, l.get("txt_mod", {}).get("lin"), lora_scale)
-        img_q, img_k, img_v = qkv_stream(p["img_attn"], l.get("img_attn", {}), img, img_mod1)
-        txt_q, txt_k, txt_v = qkv_stream(p["txt_attn"], l.get("txt_attn", {}), txt, txt_mod1)
+        img_q, img_k, img_v = qkv_stream("img_attn", p["img_attn"], l.get("img_attn", {}), img, img_mod1)
+        txt_q, txt_k, txt_v = qkv_stream("txt_attn", p["txt_attn"], l.get("txt_attn", {}), txt, txt_mod1)
         q = jnp.concatenate([txt_q, img_q], axis=2)
         k = jnp.concatenate([txt_k, img_k], axis=2)
         v = jnp.concatenate([txt_v, img_v], axis=2)
@@ -236,29 +262,36 @@ def double_block(
     def post(img, txt, attn, mods):
         img_mod1, img_mod2, txt_mod1, txt_mod2 = mods
         txt_attn, img_attn = attn[:, :txt_len], attn[:, txt_len:]
+        rec("img_attn", "proj", img_attn)
+        rec("txt_attn", "proj", txt_attn)
 
-        def mlp(stream_p, stream_l, x, mod):
+        def mlp(name, stream_p, stream_l, x, mod):
             x_mod = ((1.0 + mod["scale"]) * layer_norm(x) + mod["shift"])
+            rec(name, "0", x_mod)
             h = linear(stream_p["0"], x_mod, stream_l.get("0"), lora_scale)
             h = jax.nn.gelu(h, approximate=True)
+            rec(name, "2", h)
             return linear(stream_p["2"], h, stream_l.get("2"), lora_scale)
 
         img = img + (img_mod1["gate"] * linear(
             p["img_attn"]["proj"], img_attn, l.get("img_attn", {}).get("proj"), lora_scale
         ).astype(jnp.float32)).astype(img.dtype)
-        img = img + (img_mod2["gate"] * mlp(p["img_mlp"], l.get("img_mlp", {}), img, img_mod2).astype(jnp.float32)).astype(img.dtype)
+        img = img + (img_mod2["gate"] * mlp("img_mlp", p["img_mlp"], l.get("img_mlp", {}), img, img_mod2).astype(jnp.float32)).astype(img.dtype)
 
         txt = txt + (txt_mod1["gate"] * linear(
             p["txt_attn"]["proj"], txt_attn, l.get("txt_attn", {}).get("proj"), lora_scale
         ).astype(jnp.float32)).astype(txt.dtype)
-        txt = txt + (txt_mod2["gate"] * mlp(p["txt_mlp"], l.get("txt_mlp", {}), txt, txt_mod2).astype(jnp.float32)).astype(txt.dtype)
+        txt = txt + (txt_mod2["gate"] * mlp("txt_mlp", p["txt_mlp"], l.get("txt_mlp", {}), txt, txt_mod2).astype(jnp.float32)).astype(txt.dtype)
         return img, txt
 
     if seg is not None:
         pre, post = seg(pre), seg(post)
     q, k, v, mods = pre(img, txt)
     attn = attention(q, k, v, None, mask=attn_mask, impl=attn_impl)
-    return post(img, txt, attn, mods)
+    out = post(img, txt, attn, mods)
+    if collect_stats:
+        return out, stats
+    return out
 
 
 def single_block(
@@ -273,17 +306,25 @@ def single_block(
     attn_impl: str = "auto",
     rope_layout: str = "interleaved",
     seg=None,
+    collect_stats: bool = False,
 ) -> jnp.ndarray:
     """SingleStreamBlock (ref layers.py:199-245): fused parallel attn+MLP.
 
     seg: optional two-segment checkpoint wrapper — see double_block. The
     fused linear1 output `h` is a segment boundary; the mlp half is re-sliced
-    from it in the second segment so it isn't stored twice."""
+    from it in the second segment so it isn't stored twice.
+
+    collect_stats: see double_block."""
     l = lora or {}
+    if collect_stats and seg is not None:
+        raise ValueError("collect_stats is a calibration (no-remat) mode")
+    stats: dict | None = {} if collect_stats else None
 
     def pre(x):
         mod, _ = modulation(p["modulation"], vec, False, l.get("modulation", {}).get("lin"), lora_scale)
         x_mod = ((1.0 + mod["scale"]) * layer_norm(x) + mod["shift"]).astype(x.dtype)
+        if stats is not None:
+            stats["linear1"] = _absmax_in(x_mod)
         h = linear(p["linear1"], x_mod, l.get("linear1"), lora_scale)
         q, k, v = _split_heads(h[..., : 3 * cfg.hidden_size], cfg.num_heads)
         q, k = qk_norm(p["norm"], q, k, v)
@@ -292,19 +333,20 @@ def single_block(
 
     def post(x, attn, h, mod):
         mlp_h = h[..., 3 * cfg.hidden_size :]
-        out = linear(
-            p["linear2"],
-            jnp.concatenate([attn, jax.nn.gelu(mlp_h, approximate=True)], axis=-1),
-            l.get("linear2"),
-            lora_scale,
-        )
+        cat = jnp.concatenate([attn, jax.nn.gelu(mlp_h, approximate=True)], axis=-1)
+        if stats is not None:
+            stats["linear2"] = _absmax_in(cat)
+        out = linear(p["linear2"], cat, l.get("linear2"), lora_scale)
         return x + (mod["gate"] * out.astype(jnp.float32)).astype(x.dtype)
 
     if seg is not None:
         pre, post = seg(pre), seg(post)
     q, k, v, h, mod = pre(x)
     attn = attention(q, k, v, None, mask=attn_mask, impl=attn_impl)
-    return post(x, attn, h, mod)
+    out = post(x, attn, h, mod)
+    if collect_stats:
+        return out, stats
+    return out
 
 
 def last_layer(

@@ -200,6 +200,96 @@ def quantize_flux_w8a8(params: Params) -> Params:
     return mark_w8a8(quantize_flux_int8(params))
 
 
+# ------------------- SmoothQuant equalization for w8a8 -------------------
+#
+# Per-token dynamic int8 adapts the activation scale per TOKEN; the residual
+# error is per-CHANNEL outliers within a token (a handful of channels with
+# 10-100x the typical magnitude consume the whole int8 range). SmoothQuant
+# (PAPERS.md) migrates that difficulty into the weights with a per-input-
+# channel equalization s: the quantized matmul computes
+# (x / s) @ (s * w) == x @ w, where s_j = amax_j^alpha / wmax_j^(1-alpha)
+# from a calibration pass (calibrate_flux_a8). The divide is one fused
+# elementwise multiply in the activation-quantize chain (layers.linear);
+# the weight side is folded offline. Exact in fp — only the quantization
+# grids move.
+
+
+def smooth_scales(
+    a_stat: jnp.ndarray, w: jnp.ndarray, alpha: float = 0.5, eps: float = 1e-5
+) -> jnp.ndarray:
+    """Equalization scales s (..., in) from activation absmax stats
+    a_stat (..., in) and weights w (..., in, out):
+    s = a_stat^alpha / wmax^(1-alpha), clipped to a sane range."""
+    a = jnp.maximum(a_stat.astype(jnp.float32), eps)
+    wmax = jnp.maximum(
+        jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-1), eps
+    )  # (..., in)
+    s = a**alpha / wmax ** (1.0 - alpha)
+    return jnp.clip(s, 1e-3, 1e3)
+
+
+def quantize_flux_w8a8_smooth(
+    params: Params, stats: Params, alpha: float = 0.5
+) -> Params:
+    """w8a8 tree with SmoothQuant equalization: token-dim block linears that
+    have calibration stats get their weights folded with s before int8
+    quantization plus an "a_sinv" = 1/s leaf (applied to activations inside
+    layers.linear); everything else quantizes exactly like
+    quantize_flux_w8a8. `stats` is the tree from calibrate_flux_a8."""
+
+    def walk(node, st, in_blocks, key):
+        if isinstance(node, dict):
+            if "w" in node:
+                if not (in_blocks and key in _A8_KEYS):
+                    return quantize_linear_int8(node)
+                lead = node["w"].shape[:-2]
+                if st is None:
+                    return dict(
+                        quantize_linear_int8(node), a8=jnp.zeros(lead, jnp.int8)
+                    )
+                s = smooth_scales(st, node["w"], alpha)
+                w_s = node["w"].astype(jnp.float32) * s[..., :, None]
+                q = quantize_linear_int8(dict(node, w=w_s))
+                q["a8"] = jnp.zeros(lead, jnp.int8)
+                q["a_sinv"] = (1.0 / s).astype(jnp.float32)
+                return q
+            return {
+                k: walk(
+                    v,
+                    st.get(k) if isinstance(st, dict) else None,
+                    in_blocks or k in ("double_blocks", "single_blocks"),
+                    k,
+                )
+                for k, v in node.items()
+            }
+        return node
+
+    return walk(params, stats, False, "")
+
+
+def calibrate_flux_a8(cfg, params: Params, batches, **apply_kw) -> Params:
+    """Run the unquantized model over calibration batches and return the
+    elementwise-max activation-stats tree for quantize_flux_w8a8_smooth.
+
+    batches: iterable of flux_apply kwarg dicts (img, img_ids, txt, txt_ids,
+    timesteps, y, ... — e.g. the serving query at a few denoise timesteps).
+    """
+    import numpy as np
+
+    from .flux import flux_apply
+
+    fn = jax.jit(
+        lambda p, b: flux_apply(cfg, p, **b, **apply_kw, collect_a8_stats=True)[1]
+    )
+    agg = None
+    for b in batches:
+        st = jax.device_get(fn(params, b))
+        agg = st if agg is None else jax.tree.map(np.maximum, agg, st)
+    if agg is None:
+        raise ValueError("calibrate_flux_a8 needs at least one batch")
+    return agg
+
+
 # ----------------------------- int4 (T5 capacity) -----------------------------
 #
 # Weight-only int4 with group-wise scales, for the frozen T5-XXL encoder:

@@ -215,16 +215,18 @@ def build_visualcloze(
         from ..models.quant import quantize_flux_w8a8
 
         params = quantize_flux_w8a8(params)
+    elif quantize == "w8a8_smooth":
+        pass  # calibration needs the constructed pipeline — handled below
     elif quantize is not None:
         raise ValueError(f"unknown quantize mode {quantize!r}")
-    if mesh is not None:
+    if mesh is not None and quantize != "w8a8_smooth":
         params = shard_params(params, mesh)
 
     def sub(name: str) -> str | None:
         p = os.path.join(snapshot, name) if snapshot else None
         return p if p and os.path.isdir(p) else None
 
-    return VisualClozeModel(
+    model = VisualClozeModel(
         flux_cfg,
         params,
         load_ae(dtype, path=sub("vae")),
@@ -237,6 +239,16 @@ def build_visualcloze(
         time_shifting_factor=time_shifting_factor,
         attn_impl=attn_impl,
     )
+    if quantize == "w8a8_smooth":
+        # SmoothQuant-equalized w8a8: calibrate on a demo-grid trajectory
+        # with the unquantized tree resident, then quantize in place
+        # (VisualClozeModel.calibrate_w8a8_smooth; pass real queries there
+        # for production-grade stats). Needs bf16-tree headroom — run on
+        # the CPU host or a large chip, then serve the saved tree.
+        model.calibrate_w8a8_smooth()
+        if mesh is not None:
+            model.params = shard_params(model.params, mesh)
+    return model
 
 
 def random_components(

@@ -139,6 +139,82 @@ class VisualClozeModel:
                 key=jax.random.PRNGKey(0), content_prompt="warmup",
             )
 
+    def calibrate_w8a8_smooth(
+        self,
+        queries: list[tuple[list, Sequence[str]]] | None = None,
+        grid_size: tuple[int, int] = (2, 2),
+        steps: int = 30,
+        stride: int = 5,
+        alpha: float = 0.5,
+        seed: int = 1,
+    ):
+        """SmoothQuant calibration + quantization for w8a8 serving.
+
+        Runs each query's full Euler denoise trajectory with the resident
+        UNQUANTIZED params, collecting the per-input-channel absmax of every
+        token-dim block linear's input at every `stride`-th step (plus the
+        last), then swaps `self.params` for the equalized w8a8 tree
+        (models/quant.quantize_flux_w8a8_smooth) — activation outliers
+        migrate into the weights, so the per-token int8 grid stops being
+        consumed by a handful of channels. Run where the bf16 tree fits (CPU
+        host or a large chip); the resulting tree is what single-chip
+        serving loads (pipeline/serving.save_params_dir).
+
+        queries: list of (images, prompts) in process_images format;
+        None calibrates on a blank demo grid (weight-aware but activation-
+        distribution-approximate — prefer a few real queries). Returns the
+        stats tree for inspection."""
+        from ..models.quant import quantize_flux_w8a8_smooth
+
+        if queries is None:
+            gh, gw = grid_size
+            blank = Image.new(
+                "RGB", (self.resolution, self.resolution), (128, 128, 128)
+            )
+            grid = [[blank] * gw for _ in range(gh)]
+            grid[-1][-1] = None
+            queries = [(grid, ["calibration", "", ""])]
+            grid_sizes = [grid_size]
+        else:
+            grid_sizes = [(len(im), len(im[0])) for im, _ in queries]
+
+        stats = None
+
+        _DEV_KEYS = ("img_cond", "txt", "txt_ids", "txt_mask", "vec",
+                     "img_ids", "img_mask", "guidance")
+
+        def stat_fn(params, x, t_vec, q):
+            inp = jnp.concatenate([x, q["img_cond"].astype(x.dtype)], axis=-1)
+            return flux_apply(
+                self.cfg, params, img=inp, img_ids=q["img_ids"],
+                txt=q["txt"], txt_ids=q["txt_ids"], timesteps=t_vec,
+                y=q["vec"], txt_mask=q["txt_mask"], img_mask=q["img_mask"],
+                guidance=q["guidance"], attn_impl=self.attn_impl,
+                collect_a8_stats=True,
+            )
+
+        jfn = jax.jit(stat_fn)
+        for (images, prompts), gs in zip(queries, grid_sizes):
+            qfull = self.prepare_query(
+                images, list(prompts), seed=seed, steps=steps, grid_size=gs
+            )
+            q = {k: qfull[k] for k in _DEV_KEYS}
+            ts = np.asarray(qfull["ts"], np.float32)
+            x = qfull["x"]
+            n = len(ts) - 1
+            for i in range(n):
+                t_vec = jnp.full((x.shape[0],), float(ts[i]), dtype=x.dtype)
+                v, st = jfn(self.params, x, t_vec, q)
+                if i % stride == 0 or i == n - 1:
+                    st = jax.device_get(st)
+                    stats = (
+                        st if stats is None else jax.tree.map(np.maximum, stats, st)
+                    )
+                x = x + (float(ts[i + 1] - ts[i]) * v).astype(x.dtype)
+
+        self.params = quantize_flux_w8a8_smooth(self.params, stats, alpha)
+        return stats
+
     def encode_row(self, row_img: np.ndarray, key: jax.Array) -> jnp.ndarray:
         """(H, W, 3) [-1,1] pixels -> (1, H/8, W/8, 16) scaled latent."""
         return self._encode_jit(self.ae.params, jnp.asarray(row_img)[None], key)
