@@ -1,0 +1,104 @@
+"""Production serving daemon: HTTP API over the pipelined orchestrator.
+
+The reference ships only the Gradio research demo (app.py); production
+deployment needs a machine-facing endpoint. This CLI wraps a
+VisualClozeModel in PipelinedServer (two-chip encoder/DiT disaggregation
+when devices allow) and serves the JSON API of
+visualcloze_tpu/pipeline/server.py:
+
+  python serve.py --demo --port 8000            # tiny random model
+  python serve.py --model_path ckpt.pth --quantize int8 --port 8000
+  curl -s localhost:8000/healthz
+  curl -s -X POST localhost:8000/v1/generate -d @query.json
+
+With >=2 devices the encoders+VAE are pinned to device 0 and the DiT to
+device 1 (the bench.py serving topology: T5-XXL bf16 cannot co-reside with
+the int8 12B DiT on a 16 GB chip); --tp/--fsdp instead shards the DiT over
+a mesh. Queries are admission-controlled (429 beyond --max_queue).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_path", default=None)
+    p.add_argument("--model_name", default="flux-dev-fill-lora")
+    p.add_argument("--resolution", type=int, default=384)
+    p.add_argument("--solver", default="euler",
+                   choices=["euler", "heun", "ab2", "dopri5"])
+    p.add_argument("--quantize", default=None,
+                   choices=[None, "int8", "w8a8", "w8a8_smooth"])
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--fsdp", type=int, default=1)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max_inflight", type=int, default=2,
+                   help="pipeline depth (concurrent queries on device)")
+    p.add_argument("--max_queue", type=int, default=8,
+                   help="admitted requests beyond which POSTs get 429")
+    p.add_argument("--no_disaggregate", action="store_true",
+                   help="keep encoders and DiT on the default device even "
+                        "with 2+ chips")
+    p.add_argument("--warmup_grids", default="2x3",
+                   help="comma list of HxW grids to pre-compile, e.g. 2x3,3x3"
+                        " ('' skips warmup)")
+    p.add_argument("--demo", action="store_true",
+                   help="tiny random model, no checkpoints")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from inference import serving_mesh
+    from visualcloze_tpu.pipeline.server import run_server
+    from visualcloze_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    mesh = serving_mesh(args)
+    if args.demo:
+        from visualcloze_tpu.pipeline import random_components
+
+        model = random_components(
+            jax.random.PRNGKey(0), tiny=True, resolution=64, mesh=mesh
+        )
+        model.solver = args.solver
+        if args.quantize == "w8a8_smooth":
+            model.calibrate_w8a8_smooth(steps=4, stride=2)
+    else:
+        from visualcloze_tpu.pipeline import build_visualcloze
+
+        model = build_visualcloze(
+            model_path=args.model_path, model_name=args.model_name,
+            resolution=args.resolution, solver=args.solver, mesh=mesh,
+            quantize=args.quantize,
+        )
+
+    devices = jax.devices()
+    disaggregate = mesh is None and len(devices) >= 2 and not args.no_disaggregate
+    enc_dev = devices[0] if disaggregate else None
+    dit_dev = devices[1] if disaggregate else None
+
+    if args.warmup_grids:
+        shapes = [
+            tuple(int(v) for v in g.split("x"))
+            for g in args.warmup_grids.split(",") if g
+        ]
+        model.warmup(shapes, steps=4 if args.demo else 30)
+
+    print(f"serving on {args.host}:{args.port} "
+          f"(disaggregated={disaggregate}, mesh={mesh is not None})")
+    run_server(
+        model, host=args.host, port=args.port,
+        encoder_device=enc_dev, dit_device=dit_dev,
+        max_inflight=args.max_inflight, max_queue=args.max_queue,
+        block=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""HTTP serving front-end (pipeline/server.py): JSON API over the pipelined
+orchestrator — generate round-trip, validation errors, health and metrics."""
+
+import base64
+import io
+import json
+import urllib.request
+import urllib.error
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from visualcloze_tpu.pipeline import random_components
+from visualcloze_tpu.pipeline.server import run_server
+
+pytestmark = pytest.mark.slow  # full-pipeline HTTP round trips
+
+
+@pytest.fixture(scope="module")
+def endpoint():
+    model = random_components(
+        jax.random.PRNGKey(0), tiny=True, resolution=64, attn_impl="xla"
+    )
+    httpd, fe = run_server(model, host="127.0.0.1", port=0, block=False)
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield url, fe
+    httpd.shutdown()
+    fe.server.close()
+
+
+def _b64(color):
+    img = Image.new("RGB", (64, 64), color)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def _post(url, body, path="/v1/generate"):
+    req = urllib.request.Request(
+        url + path, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_healthz(endpoint):
+    url, _ = endpoint
+    with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+        assert r.status == 200
+        body = json.loads(r.read())
+    assert body["ok"] is True and body["queue_depth"] == 0
+
+
+def test_generate_round_trip_and_metrics(endpoint):
+    url, fe = endpoint
+    body = {
+        "images": [
+            [_b64((255, 0, 0)), _b64((0, 255, 0))],
+            [_b64((0, 0, 255)), None],
+        ],
+        "prompts": ["grid layout", "task",
+                    "The content of the last image in the final row is: x"],
+        "seed": 7, "cfg": 4.0, "steps": 2, "upsampling": False,
+    }
+    status, out = _post(url, body)
+    assert status == 200, out
+    assert out["images"] and out["latency_s"] > 0 and len(out["id"]) == 12
+    img = Image.open(io.BytesIO(base64.b64decode(out["images"][0])))
+    arr = np.asarray(img, np.float32)
+    assert arr.ndim == 3 and np.isfinite(arr).all()
+
+    with urllib.request.urlopen(url + "/metrics", timeout=30) as r:
+        text = r.read().decode()
+    assert "visualcloze_requests_total 1" in text
+    assert "visualcloze_failures_total 0" in text
+    assert 'visualcloze_latency_seconds{quantile="0.5"}' in text
+
+
+def test_generate_validation_errors(endpoint):
+    url, _ = endpoint
+    status, out = _post(url, {"prompts": ["a"]})
+    assert status == 400 and "images" in out["error"]
+    status, out = _post(url, {
+        "images": [[_b64((1, 1, 1))], [_b64((1, 1, 1)), None]],
+        "prompts": ["a", "b", "c"],
+    })
+    assert status == 400 and "ragged" in out["error"]
+    status, out = _post(url, {
+        "images": [[_b64((1, 1, 1)), None]],
+        "prompts": ["a", "b", "c"],
+        "grid_size": [2, 2],
+    })
+    assert status == 400 and "grid_size" in out["error"]
+
+
+def test_unknown_paths_404(endpoint):
+    url, _ = endpoint
+    status, _ = _post(url, {}, path="/v1/nope")
+    assert status == 404
+    try:
+        urllib.request.urlopen(url + "/nope", timeout=30)
+        assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404

@@ -1,0 +1,254 @@
+"""Production HTTP serving front-end over the pipelined orchestrator.
+
+The reference ships only a Gradio research demo (app.py) — production
+deployment needs a machine-facing API. This is a dependency-free (stdlib
+http.server) front-end over PipelinedServer:
+
+  POST /v1/generate   JSON in / JSON out (base64 PNG cells), admission-
+                      controlled by a bounded queue (429 when saturated)
+  GET  /healthz       liveness + queue depth
+  GET  /metrics       Prometheus text format: request/failure counters,
+                      in-flight gauge, latency quantiles over a ring buffer
+
+Request schema (application/json):
+  {
+    "images": [[<b64 PNG or null>, ...], ...],   # grid rows; null = MASK cell
+    "prompts": [layout, task, content],
+    "grid_size": [h, w],                          # optional (inferred)
+    "seed": 0, "cfg": 30.0, "steps": 30,
+    "upsampling": true, "upsampling_steps": 10, "upsampling_noise": 0.4
+  }
+Response: {"images": [<b64 PNG>, ...], "latency_s": float, "id": str}
+
+Threading model: ThreadingHTTPServer gives one handler thread per
+connection; handlers block on PipelinedServer futures, whose pool bounds
+device concurrency (max_inflight) — so the HTTP layer can accept many
+connections while at most `max_inflight + max_queue` queries are admitted.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+
+import numpy as np
+from PIL import Image
+
+from .orchestrator import PipelinedServer
+
+
+def _b64_to_image(b64: str) -> Image.Image:
+    return Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
+
+
+def _image_to_b64(img: Image.Image) -> str:
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+class _Metrics:
+    """Lock-guarded counters + a latency ring buffer for /metrics."""
+
+    def __init__(self, window: int = 256):
+        self._lock = threading.Lock()
+        self.requests_total = 0
+        self.failures_total = 0
+        self.rejected_total = 0
+        self.in_flight = 0
+        self._lat = np.zeros(window, np.float64)
+        self._n = 0
+
+    def start(self):
+        with self._lock:
+            self.requests_total += 1
+            self.in_flight += 1
+
+    def done(self, latency_s: float, ok: bool):
+        with self._lock:
+            self.in_flight -= 1
+            if not ok:
+                self.failures_total += 1
+            else:
+                self._lat[self._n % len(self._lat)] = latency_s
+                self._n += 1
+
+    def rejected(self):
+        with self._lock:
+            self.rejected_total += 1
+
+    def render(self, queue_depth: int) -> str:
+        with self._lock:
+            lat = self._lat[: min(self._n, len(self._lat))]
+            q50, q95 = (
+                (float(np.quantile(lat, 0.5)), float(np.quantile(lat, 0.95)))
+                if lat.size else (0.0, 0.0)
+            )
+            lines = [
+                "# TYPE visualcloze_requests_total counter",
+                f"visualcloze_requests_total {self.requests_total}",
+                "# TYPE visualcloze_failures_total counter",
+                f"visualcloze_failures_total {self.failures_total}",
+                "# TYPE visualcloze_rejected_total counter",
+                f"visualcloze_rejected_total {self.rejected_total}",
+                "# TYPE visualcloze_in_flight gauge",
+                f"visualcloze_in_flight {self.in_flight}",
+                "# TYPE visualcloze_queue_depth gauge",
+                f"visualcloze_queue_depth {queue_depth}",
+                "# TYPE visualcloze_latency_seconds summary",
+                f'visualcloze_latency_seconds{{quantile="0.5"}} {q50:.6f}',
+                f'visualcloze_latency_seconds{{quantile="0.95"}} {q95:.6f}',
+            ]
+        return "\n".join(lines) + "\n"
+
+
+class ServingFrontend:
+    """Bounded-admission HTTP front-end; owns a PipelinedServer."""
+
+    def __init__(self, server: PipelinedServer, max_queue: int = 8):
+        self.server = server
+        self.max_queue = max_queue
+        self.metrics = _Metrics()
+        self._admit = threading.Semaphore(max_queue)
+        self._depth_lock = threading.Lock()
+        self._depth = 0
+
+    @property
+    def queue_depth(self) -> int:
+        with self._depth_lock:
+            return self._depth
+
+    def handle_generate(self, body: dict[str, Any]) -> dict[str, Any]:
+        """Validate + run one query; raises ValueError on bad requests."""
+        rows = body.get("images")
+        prompts = body.get("prompts")
+        if not isinstance(rows, list) or not rows or not isinstance(prompts, list):
+            raise ValueError("'images' (grid rows) and 'prompts' are required")
+        widths = {len(r) for r in rows}
+        if len(widths) != 1:
+            raise ValueError("ragged grid: all rows must have equal length")
+        grid = [
+            [None if c is None else _b64_to_image(c) for c in row] for row in rows
+        ]
+        gh, gw = body.get("grid_size") or (len(grid), len(grid[0]))
+        if (gh, gw) != (len(grid), len(grid[0])):
+            raise ValueError(f"grid_size {(gh, gw)} != images shape")
+        fut = self.server.submit(
+            grid,
+            [str(p) for p in prompts],
+            grid_size=(gh, gw),
+            seed=int(body.get("seed", 0)),
+            cfg=float(body.get("cfg", 30.0)),
+            steps=int(body.get("steps", 30)),
+            upsampling_steps=int(body.get("upsampling_steps", 10)),
+            upsampling_noise=float(body.get("upsampling_noise", 0.4)),
+            is_upsampling=bool(body.get("upsampling", True)),
+        )
+        images = fut.result()
+        return {"images": [_image_to_b64(im) for im in images]}
+
+    # ----------------------------- HTTP plumbing -----------------------------
+
+    def make_handler(self):
+        fe = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):  # quiet by default
+                pass
+
+            def _send(self, code: int, payload: str, ctype="application/json"):
+                data = payload.encode()
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._send(200, json.dumps(
+                        {"ok": True, "queue_depth": fe.queue_depth}
+                    ))
+                elif self.path == "/metrics":
+                    self._send(200, fe.metrics.render(fe.queue_depth),
+                               ctype="text/plain; version=0.0.4")
+                else:
+                    self._send(404, json.dumps({"error": "not found"}))
+
+            def do_POST(self):
+                if self.path != "/v1/generate":
+                    self._send(404, json.dumps({"error": "not found"}))
+                    return
+                if not fe._admit.acquire(blocking=False):
+                    fe.metrics.rejected()
+                    self._send(429, json.dumps({"error": "server saturated"}))
+                    return
+                with fe._depth_lock:
+                    fe._depth += 1
+                fe.metrics.start()
+                t0 = time.perf_counter()
+                ok = False
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    out = fe.handle_generate(body)
+                    out["latency_s"] = round(time.perf_counter() - t0, 4)
+                    out["id"] = uuid.uuid4().hex[:12]
+                    ok = True
+                    self._send(200, json.dumps(out))
+                except ValueError as e:
+                    self._send(400, json.dumps({"error": str(e)}))
+                except Exception as e:  # pragma: no cover - defensive
+                    self._send(500, json.dumps(
+                        {"error": f"{type(e).__name__}: {e}"}
+                    ))
+                finally:
+                    fe.metrics.done(time.perf_counter() - t0, ok)
+                    with fe._depth_lock:
+                        fe._depth -= 1
+                    fe._admit.release()
+
+        return Handler
+
+    def serve(self, host: str = "0.0.0.0", port: int = 8000) -> ThreadingHTTPServer:
+        httpd = ThreadingHTTPServer((host, port), self.make_handler())
+        return httpd
+
+
+def run_server(
+    model,
+    host: str = "0.0.0.0",
+    port: int = 8000,
+    encoder_device=None,
+    dit_device=None,
+    max_inflight: int = 2,
+    max_queue: int = 8,
+    block: bool = True,
+):
+    """Wrap a VisualClozeModel in the pipelined orchestrator + HTTP frontend.
+
+    block=False returns (httpd, frontend) with a daemon thread serving —
+    tests and embedding use this; block=True serves forever."""
+    ps = PipelinedServer(
+        model, encoder_device=encoder_device, dit_device=dit_device,
+        max_inflight=max_inflight,
+    )
+    fe = ServingFrontend(ps, max_queue=max_queue)
+    httpd = fe.serve(host, port)
+    if block:  # pragma: no cover - interactive path
+        try:
+            httpd.serve_forever()
+        finally:
+            ps.close()
+        return None
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return httpd, fe
