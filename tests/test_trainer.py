@@ -265,3 +265,61 @@ def test_checkpoint_reshard_on_restore(tmp_path):
 
 
 pytestmark = pytest.mark.slow  # 8-device mesh / full-stack CLI suite; fast lane skips
+
+
+def test_trainer_preemption_checkpoint_and_resume(tmp_path):
+    """SIGTERM mid-run (preemptible TPU semantics): the trainer finishes the
+    in-flight step, saves a checkpoint at the step boundary, exits 0; a
+    restart with --auto_resume continues from the preempted step."""
+    import os
+    import signal as _signal
+    import subprocess
+    import sys
+    import time as _time
+
+    random.seed(0)
+    config = make_dataset_files(tmp_path)
+    results = tmp_path / "results_preempt"
+    args = [
+        "--data_path", config, "--results_dir", str(results),
+        "--tiny", "--init_random", "--max_steps", "50",
+        "--global_bsz", "2", "--micro_bsz", "1", "--grid_resolution", "64",
+        "--lora_rank", "4", "--ckpt_every", "50", "--log_every", "1",
+        "--num_workers", "1", "--max_seq_bucket", "128", "--fsdp", "2",
+        "--auto_resume", "--precision", "fp32",
+    ]
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from visualcloze_tpu.training.train import main; import sys;"
+        "main(sys.argv[1:])"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code, *args],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+    )
+    # wait for the first optimizer step to be logged, then preempt
+    deadline = _time.time() + 420
+    lines = []
+    for line in proc.stdout:
+        lines.append(line)
+        if "step 1 loss" in line or _time.time() > deadline:
+            break
+    assert any("step 1 loss" in ln for ln in lines), "".join(lines)[-2000:]
+    proc.send_signal(_signal.SIGTERM)
+    out = proc.stdout.read()
+    assert proc.wait(timeout=300) == 0, out[-2000:]
+    assert "preempted at step" in out, out[-2000:]
+
+    ckpts = sorted((results / "checkpoints").iterdir())
+    assert ckpts, "no preemption checkpoint saved"
+    saved_step = int((ckpts[-1] / "resume_step.txt").read_text())
+    assert 0 < saved_step < 50
+
+    # restart: auto_resume picks up the preemption checkpoint
+    from visualcloze_tpu.training.train import main
+
+    args[args.index("--max_steps") + 1] = str(saved_step + 1)
+    main(args)
+    assert (results / "checkpoints" / f"{saved_step + 1:07d}").is_dir()

@@ -20,6 +20,8 @@ import argparse
 import json
 import logging
 import os
+import signal
+import threading
 import time
 
 import jax
@@ -306,6 +308,22 @@ def main(argv=None) -> None:
     loss_meter = SmoothedValue()
     logger.info("training for %d steps from %d", args.max_steps, resume_step)
 
+    # Preemption-safe checkpointing (beyond the reference, SURVEY §5.3 —
+    # it only has auto_resume): preemptible TPU slices deliver SIGTERM with
+    # a grace window. The handler only flips a flag; the loop finishes the
+    # in-flight step, saves a checkpoint at the NEXT step boundary (the
+    # deterministic sampler replays data order from there), and exits 0 so
+    # the scheduler restarts with --auto_resume picking it up.
+    preempted = {"flag": False}
+
+    def _on_preempt(signum, frame):
+        del frame
+        preempted["flag"] = True
+        logger.warning("signal %d: checkpoint at next step boundary", signum)
+
+    if threading.current_thread() is threading.main_thread():
+        signal.signal(signal.SIGTERM, _on_preempt)
+
     for step in range(resume_step, args.max_steps):
         timer.reset()
         _, rows_batch, prompts, _, grid_shapes = next(loader_iter)
@@ -338,12 +356,20 @@ def main(argv=None) -> None:
             if wandb_run is not None:
                 wandb_run.log({"loss": loss, "grad_norm": gn, "lr": args.lr}, step=step)
 
-        if (step + 1) % args.ckpt_every == 0 or step + 1 == args.max_steps:
+        if (
+            (step + 1) % args.ckpt_every == 0
+            or step + 1 == args.max_steps
+            or preempted["flag"]
+        ):
             path = ckpt.save_checkpoint(
                 ckpt_root, step + 1, state, flux_cfg,
                 model_args=vars(args), save_ema=args.use_model_ema,
             )
             logger.info("saved checkpoint %s", path)
+        if preempted["flag"]:
+            logger.warning("preempted at step %d: checkpoint saved, exiting "
+                           "cleanly for --auto_resume restart", step + 1)
+            break
 
     if tb_writer is not None:
         tb_writer.close()
