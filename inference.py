@@ -46,6 +46,9 @@ def parse_args(argv=None):
                    help="shard the DiT over N tensor-parallel devices (multi-chip serving)")
     p.add_argument("--fsdp", type=int, default=1,
                    help="additionally shard DiT weights over N fsdp devices")
+    p.add_argument("--cp", type=int, default=1,
+                   help="sequence parallelism: ring attention over N devices "
+                        "for very long grids (e.g. 5x5 at 512 = ~26k tokens)")
     p.add_argument("--quantize", default=None,
                    choices=[None, "int8", "w8a8", "w8a8_smooth"],
                    help="int8 DiT: weight-only (int8) or dynamic-activation "
@@ -54,22 +57,34 @@ def parse_args(argv=None):
 
 
 def serving_mesh(args):
-    """(dp=1, fsdp, tp) serving mesh, or None for single-device serving.
+    """(dp=1, fsdp, tp, cp) serving mesh, or None for single-device serving.
 
     The reference has no multi-device serving at all (SURVEY §2.9: fairscale
     scaffolding with model_parallel_size=1); here a mesh spec on the CLI
     shards the 12B DiT across chips via GSPMD."""
-    if args.tp * args.fsdp <= 1:
+    cp = getattr(args, "cp", 1)
+    if args.tp * args.fsdp * cp <= 1:
         return None
     from visualcloze_tpu.parallel import create_mesh
 
     n = len(jax.devices())
-    if n < args.tp * args.fsdp:
+    need = args.tp * args.fsdp * cp
+    if n < need:
         raise SystemExit(
-            f"--tp {args.tp} --fsdp {args.fsdp} needs {args.tp * args.fsdp} "
+            f"--tp {args.tp} --fsdp {args.fsdp} --cp {cp} needs {need} "
             f"devices, found {n}"
         )
-    return create_mesh(fsdp=args.fsdp, tp=args.tp)
+    return create_mesh(fsdp=args.fsdp, tp=args.tp, cp=cp)
+
+
+def serving_attn_impl(args, mesh):
+    """RingSpec when --cp > 1 (sequence-parallel exact attention for long
+    grids), else the default dispatch."""
+    if getattr(args, "cp", 1) <= 1 or mesh is None:
+        return "auto"
+    from visualcloze_tpu.ops.attention import RingSpec
+
+    return RingSpec(mesh=mesh, axis="cp", chunk_impl="auto")
 
 
 def main(argv=None):
@@ -81,7 +96,10 @@ def main(argv=None):
     if args.demo:
         from visualcloze_tpu.pipeline import random_components
 
-        model = random_components(jax.random.PRNGKey(0), tiny=True, resolution=64, mesh=mesh)
+        model = random_components(
+            jax.random.PRNGKey(0), tiny=True, resolution=64, mesh=mesh,
+            attn_impl=serving_attn_impl(args, mesh),
+        )
         model.solver = args.solver
         if args.quantize == "w8a8_smooth":
             model.calibrate_w8a8_smooth(steps=4, stride=2)
@@ -110,6 +128,7 @@ def main(argv=None):
             resolution=args.resolution,
             mesh=mesh,
             quantize=args.quantize,
+            attn_impl=serving_attn_impl(args, mesh),
         )
 
     grid = [

@@ -35,6 +35,8 @@ def parse_args(argv=None):
                    choices=[None, "int8", "w8a8", "w8a8_smooth"])
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--fsdp", type=int, default=1)
+    p.add_argument("--cp", type=int, default=1,
+                   help="ring-attention sequence parallelism for long grids")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max_inflight", type=int, default=2,
@@ -54,17 +56,19 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
-    from inference import serving_mesh
+    from inference import serving_attn_impl, serving_mesh
     from visualcloze_tpu.pipeline.server import run_server
     from visualcloze_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
     mesh = serving_mesh(args)
+    attn_impl = serving_attn_impl(args, mesh)
     if args.demo:
         from visualcloze_tpu.pipeline import random_components
 
         model = random_components(
-            jax.random.PRNGKey(0), tiny=True, resolution=64, mesh=mesh
+            jax.random.PRNGKey(0), tiny=True, resolution=64, mesh=mesh,
+            attn_impl=attn_impl,
         )
         model.solver = args.solver
         if args.quantize == "w8a8_smooth":
@@ -75,7 +79,7 @@ def main(argv=None):
         model = build_visualcloze(
             model_path=args.model_path, model_name=args.model_name,
             resolution=args.resolution, solver=args.solver, mesh=mesh,
-            quantize=args.quantize,
+            quantize=args.quantize, attn_impl=attn_impl,
         )
 
     devices = jax.devices()

@@ -189,3 +189,17 @@ def test_sample_cli_sharded_sweep_disjoint(tmp_path):
     # shard prefix of each id is the item index: round-robin split
     assert all(i.startswith("0_") for i in ids[0])
     assert all(i.startswith("1_") for i in ids[1])
+
+
+@pytest.mark.slow
+def test_inference_cli_demo_cp_ring_attention(tmp_path):
+    """--cp shards the denoise attention over a ring (sequence parallelism
+    for long grids) from the serving CLI."""
+    import inference as inference_cli
+
+    out = tmp_path / "demo_cp.jpg"
+    inference_cli.main([
+        "--demo", "--steps", "2", "--no_upsampling",
+        "--cp", "2", "--fsdp", "2", "-o", str(out),
+    ])
+    assert out.exists()

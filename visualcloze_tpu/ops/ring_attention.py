@@ -202,9 +202,19 @@ def ring_attention(
     """
     # shard the batch dim over any data axes present in the mesh: leaving it
     # unmentioned would replicate the whole (dp, fsdp)-sharded batch onto
-    # every device (full all-gather per attention call in the trainer)
-    data_axes = tuple(a for a in ("dp", "fsdp") if a in mesh.axis_names and mesh.shape[a] > 1)
-    b_spec = data_axes if data_axes else None
+    # every device (full all-gather per attention call in the trainer).
+    # Only axes whose cumulative product divides B participate — serving
+    # runs B=1 on an fsdp weight-sharding mesh, where the batch must stay
+    # replicated rather than fail the shard_map divisibility check.
+    b = q.shape[0]
+    data_axes: list[str] = []
+    prod = 1
+    for a in ("dp", "fsdp"):
+        if (a in mesh.axis_names and mesh.shape[a] > 1
+                and b % (prod * mesh.shape[a]) == 0):
+            data_axes.append(a)
+            prod *= mesh.shape[a]
+    b_spec = tuple(data_axes) if data_axes else None
     in_specs = (
         P(b_spec, None, axis, None),
         P(b_spec, None, axis, None),
