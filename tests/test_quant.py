@@ -439,3 +439,27 @@ def test_flux_w8a8_smooth_forward_close():
     assert err_s < max(1.2 * err_p, 0.2), (err_s, err_p)
     corr = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
     assert corr > 0.97
+
+
+def test_w8a8_smooth_tree_roundtrips_serving_leaf_store(tmp_path):
+    """The production single-chip path: a smooth-quantized tree persists
+    through pipeline/serving's leaf store (a8/a_sinv leaves included) and
+    the reloaded tree computes the identical forward."""
+    from visualcloze_tpu.models.quant import (
+        calibrate_flux_a8,
+        quantize_flux_w8a8_smooth,
+    )
+    from visualcloze_tpu.pipeline.serving import load_params_dir, save_params_dir
+
+    params = init_flux(jax.random.PRNGKey(0), CFG)
+    rng = np.random.default_rng(9)
+    inp = _flux_inp(rng)
+    stats = calibrate_flux_a8(CFG, params, [inp], attn_impl="xla")
+    q = quantize_flux_w8a8_smooth(params, stats)
+    want = np.asarray(flux_apply(CFG, q, **inp, attn_impl="xla"), np.float32)
+
+    save_params_dir(q, str(tmp_path / "tree"))
+    q2 = load_params_dir(str(tmp_path / "tree"))
+    assert jax.tree.structure(jax.tree.map(np.asarray, q)) == jax.tree.structure(q2)
+    got = np.asarray(flux_apply(CFG, q2, **inp, attn_impl="xla"), np.float32)
+    np.testing.assert_array_equal(got, want)

@@ -108,3 +108,19 @@ def test_unknown_paths_404(endpoint):
         assert False, "expected 404"
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_malformed_image_payload_is_a_client_error(endpoint):
+    """Bad base64 / non-image bytes / string rows are 400s, not 500s, and
+    don't pollute the failure metric."""
+    url, fe = endpoint
+    fails_before = fe.metrics.failures_total
+    status, out = _post(url, {
+        "images": [["!!notbase64", None]],
+        "prompts": ["a", "b", "c"],
+    })
+    assert status == 400 and "invalid image cell" in out["error"]
+    status, out = _post(url, {"images": ["abc"], "prompts": ["a", "b", "c"]})
+    assert status == 400 and "row lists" in out["error"]
+    assert fe.metrics.failures_total == fails_before
+    assert fe.metrics.client_errors_total >= 2

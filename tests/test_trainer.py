@@ -323,3 +323,23 @@ def test_trainer_preemption_checkpoint_and_resume(tmp_path):
     args[args.index("--max_steps") + 1] = str(saved_step + 1)
     main(args)
     assert (results / "checkpoints" / f"{saved_step + 1:07d}").is_dir()
+
+
+def test_trainer_rejects_cp_pp_combination(tmp_path):
+    """--cp x --pp would nest ring attention's shard_map inside the
+    pipeline's (trace-time crash) — the CLI must refuse up front; same for
+    the unimplemented dots_split-under-pp remat."""
+    from visualcloze_tpu.training.train import main
+
+    random.seed(0)
+    config = make_dataset_files(tmp_path)
+    base = [
+        "--data_path", config, "--results_dir", str(tmp_path / "r"),
+        "--tiny", "--init_random", "--max_steps", "1", "--global_bsz", "2",
+        "--micro_bsz", "1", "--grid_resolution", "64", "--lora_rank", "4",
+        "--max_seq_bucket", "128", "--precision", "fp32",
+    ]
+    with pytest.raises(SystemExit, match="cannot be combined"):
+        main(base + ["--cp", "2", "--pp", "2"])
+    with pytest.raises(SystemExit, match="dots_split"):
+        main(base + ["--pp", "2", "--fsdp", "2", "--remat_policy", "dots_split"])

@@ -138,6 +138,17 @@ def pipeline_single_trunk(
     B = x.shape[0]
     if pp <= 1:
         raise ValueError("pipeline_single_trunk needs a pp>1 mesh axis")
+    if not isinstance(attn_impl, str):
+        raise ValueError(
+            "pipeline parallelism cannot nest a RingSpec (cp ring attention "
+            "is its own shard_map) — use a string attn_impl inside the trunk"
+        )
+    if remat and remat_policy == "dots_split":
+        raise ValueError(
+            "remat_policy='dots_split' (two-segment seg remat) is not "
+            "implemented for the pipelined trunk — use 'dots' or full with "
+            "--pp (the non-pp path supports dots_split)"
+        )
     if depth_s % pp:
         raise ValueError(f"depth_single_blocks={depth_s} not divisible by pp={pp}")
     if B % M or M % pp:

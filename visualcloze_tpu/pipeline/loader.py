@@ -181,6 +181,7 @@ def build_visualcloze(
     dtype=jnp.bfloat16,
     attn_impl: str = "auto",
     quantize: str | None = None,
+    calib_queries=None,
 ) -> VisualClozeModel:
     """Reference-parity constructor (visualcloze.py:79-139 signature).
 
@@ -240,12 +241,18 @@ def build_visualcloze(
         attn_impl=attn_impl,
     )
     if quantize == "w8a8_smooth":
-        # SmoothQuant-equalized w8a8: calibrate on a demo-grid trajectory
-        # with the unquantized tree resident, then quantize in place
-        # (VisualClozeModel.calibrate_w8a8_smooth; pass real queries there
-        # for production-grade stats). Needs bf16-tree headroom — run on
-        # the CPU host or a large chip, then serve the saved tree.
-        model.calibrate_w8a8_smooth()
+        # SmoothQuant-equalized w8a8: calibrate (on calib_queries if given,
+        # else a blank demo grid) with the unquantized tree resident, then
+        # quantize in place (VisualClozeModel.calibrate_w8a8_smooth).
+        # This path needs bf16-tree headroom and re-calibrates per process —
+        # it is the CALIBRATION seam, not the 16 GB-chip serving path. For
+        # production single-chip serving: run this once on the CPU host (or
+        # a large chip), persist the quantized tree with
+        # pipeline/serving.save_params_dir(model.params, dir) (the leaf
+        # store round-trips the a8/a_sinv leaves), and serve it via the
+        # compile-first + format-matched load (serving.load_params_dir /
+        # load_compiled_params — bench.py phase B is the worked example).
+        model.calibrate_w8a8_smooth(queries=calib_queries)
         if mesh is not None:
             model.params = shard_params(model.params, mesh)
     return model

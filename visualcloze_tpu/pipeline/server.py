@@ -43,8 +43,12 @@ from PIL import Image
 from .orchestrator import PipelinedServer
 
 
-def _b64_to_image(b64: str) -> Image.Image:
-    return Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
+def _b64_to_image(b64) -> Image.Image:
+    """Decode one grid cell; any malformed payload is a client error."""
+    try:
+        return Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
+    except Exception as e:
+        raise ValueError(f"invalid image cell (base64 PNG expected): {e}") from e
 
 
 def _image_to_b64(img: Image.Image) -> str:
@@ -60,6 +64,7 @@ class _Metrics:
         self._lock = threading.Lock()
         self.requests_total = 0
         self.failures_total = 0
+        self.client_errors_total = 0
         self.rejected_total = 0
         self.in_flight = 0
         self._lat = np.zeros(window, np.float64)
@@ -70,10 +75,12 @@ class _Metrics:
             self.requests_total += 1
             self.in_flight += 1
 
-    def done(self, latency_s: float, ok: bool):
+    def done(self, latency_s: float, ok: bool, client_err: bool = False):
         with self._lock:
             self.in_flight -= 1
-            if not ok:
+            if client_err:
+                self.client_errors_total += 1  # 400s are not server failures
+            elif not ok:
                 self.failures_total += 1
             else:
                 self._lat[self._n % len(self._lat)] = latency_s
@@ -95,6 +102,8 @@ class _Metrics:
                 f"visualcloze_requests_total {self.requests_total}",
                 "# TYPE visualcloze_failures_total counter",
                 f"visualcloze_failures_total {self.failures_total}",
+                "# TYPE visualcloze_client_errors_total counter",
+                f"visualcloze_client_errors_total {self.client_errors_total}",
                 "# TYPE visualcloze_rejected_total counter",
                 f"visualcloze_rejected_total {self.rejected_total}",
                 "# TYPE visualcloze_in_flight gauge",
@@ -109,13 +118,18 @@ class _Metrics:
 
 
 class ServingFrontend:
-    """Bounded-admission HTTP front-end; owns a PipelinedServer."""
+    """Bounded-admission HTTP front-end; owns a PipelinedServer.
 
-    def __init__(self, server: PipelinedServer, max_queue: int = 8):
+    max_queue counts requests WAITING beyond the orchestrator's
+    max_inflight: total admitted = max_inflight + max_queue, matching the
+    module docstring and serve.py's --max_queue help."""
+
+    def __init__(self, server: PipelinedServer, max_queue: int = 8,
+                 max_inflight: int = 2):
         self.server = server
         self.max_queue = max_queue
         self.metrics = _Metrics()
-        self._admit = threading.Semaphore(max_queue)
+        self._admit = threading.Semaphore(max_inflight + max_queue)
         self._depth_lock = threading.Lock()
         self._depth = 0
 
@@ -130,6 +144,8 @@ class ServingFrontend:
         prompts = body.get("prompts")
         if not isinstance(rows, list) or not rows or not isinstance(prompts, list):
             raise ValueError("'images' (grid rows) and 'prompts' are required")
+        if not all(isinstance(r, list) and r for r in rows):
+            raise ValueError("'images' must be a list of non-empty row lists")
         widths = {len(r) for r in rows}
         if len(widths) != 1:
             raise ValueError("ragged grid: all rows must have equal length")
@@ -195,7 +211,7 @@ class ServingFrontend:
                     fe._depth += 1
                 fe.metrics.start()
                 t0 = time.perf_counter()
-                ok = False
+                ok = client_err = False
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     body = json.loads(self.rfile.read(n) or b"{}")
@@ -204,14 +220,15 @@ class ServingFrontend:
                     out["id"] = uuid.uuid4().hex[:12]
                     ok = True
                     self._send(200, json.dumps(out))
-                except ValueError as e:
+                except (ValueError, json.JSONDecodeError) as e:
+                    client_err = True
                     self._send(400, json.dumps({"error": str(e)}))
                 except Exception as e:  # pragma: no cover - defensive
                     self._send(500, json.dumps(
                         {"error": f"{type(e).__name__}: {e}"}
                     ))
                 finally:
-                    fe.metrics.done(time.perf_counter() - t0, ok)
+                    fe.metrics.done(time.perf_counter() - t0, ok, client_err)
                     with fe._depth_lock:
                         fe._depth -= 1
                     fe._admit.release()
@@ -241,7 +258,7 @@ def run_server(
         model, encoder_device=encoder_device, dit_device=dit_device,
         max_inflight=max_inflight,
     )
-    fe = ServingFrontend(ps, max_queue=max_queue)
+    fe = ServingFrontend(ps, max_queue=max_queue, max_inflight=max_inflight)
     httpd = fe.serve(host, port)
     if block:  # pragma: no cover - interactive path
         try:

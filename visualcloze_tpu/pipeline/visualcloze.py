@@ -180,20 +180,25 @@ class VisualClozeModel:
 
         stats = None
 
+        # orchestrator._DEVICE_KEYS minus the per-step ("x", "ts") carries
+        # (importing orchestrator here would be a module cycle)
         _DEV_KEYS = ("img_cond", "txt", "txt_ids", "txt_mask", "vec",
                      "img_ids", "img_mask", "guidance")
 
-        def stat_fn(params, x, t_vec, q):
+        def apply(params, x, t_vec, q, collect):
             inp = jnp.concatenate([x, q["img_cond"].astype(x.dtype)], axis=-1)
             return flux_apply(
                 self.cfg, params, img=inp, img_ids=q["img_ids"],
                 txt=q["txt"], txt_ids=q["txt_ids"], timesteps=t_vec,
                 y=q["vec"], txt_mask=q["txt_mask"], img_mask=q["img_mask"],
                 guidance=q["guidance"], attn_impl=self.attn_impl,
-                collect_a8_stats=True,
+                collect_a8_stats=collect,
             )
 
-        jfn = jax.jit(stat_fn)
+        # two programs: non-collection steps skip the per-linear absmax
+        # reduction tree entirely rather than computing and discarding it
+        jfn_stats = jax.jit(functools.partial(apply, collect=True))
+        jfn_plain = jax.jit(functools.partial(apply, collect=False))
         for (images, prompts), gs in zip(queries, grid_sizes):
             qfull = self.prepare_query(
                 images, list(prompts), seed=seed, steps=steps, grid_size=gs
@@ -204,14 +209,21 @@ class VisualClozeModel:
             n = len(ts) - 1
             for i in range(n):
                 t_vec = jnp.full((x.shape[0],), float(ts[i]), dtype=x.dtype)
-                v, st = jfn(self.params, x, t_vec, q)
                 if i % stride == 0 or i == n - 1:
+                    v, st = jfn_stats(self.params, x, t_vec, q)
                     st = jax.device_get(st)
                     stats = (
                         st if stats is None else jax.tree.map(np.maximum, stats, st)
                     )
+                else:
+                    v = jfn_plain(self.params, x, t_vec, q)
                 x = x + (float(ts[i + 1] - ts[i]) * v).astype(x.dtype)
 
+        if stats is None:
+            raise ValueError(
+                "calibration collected no stats (need steps >= 1 and at "
+                "least one query) — refusing to quantize unequalized"
+            )
         self.params = quantize_flux_w8a8_smooth(self.params, stats, alpha)
         return stats
 

@@ -209,6 +209,16 @@ def main(argv=None) -> None:
     )
     compute_dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
     attn_impl = "auto"
+    if args.cp > 1 and args.pp > 1:
+        # ring attention is itself a shard_map; nesting it inside the
+        # pipeline's shard_map body (manual mesh) fails at trace time
+        raise SystemExit("--cp and --pp cannot be combined: ring attention "
+                         "runs inside its own shard_map and cannot nest "
+                         "inside the pipeline's (pick one; fsdp/tp/dp "
+                         "compose with either)")
+    if args.pp > 1 and args.remat_policy == "dots_split":
+        raise SystemExit("--remat_policy dots_split is not implemented for "
+                         "the pipelined trunk; use dots or full with --pp")
     if args.cp > 1:
         from ..ops.attention import RingSpec
 
