@@ -39,6 +39,10 @@ def parse_args(argv=None):
                    help="ring-attention sequence parallelism for long grids")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--replicas", type=int, default=1,
+                   help="N serving replicas with least-loaded dispatch "
+                        "(each gets its own chip pair when devices allow); "
+                        "replicas, not batching, are the throughput lever")
     p.add_argument("--max_inflight", type=int, default=2,
                    help="pipeline depth (concurrent queries on device)")
     p.add_argument("--max_queue", type=int, default=8,
@@ -54,53 +58,70 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def main(argv=None):
-    args = parse_args(argv)
-    from inference import serving_attn_impl, serving_mesh
-    from visualcloze_tpu.pipeline.server import run_server
-    from visualcloze_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
-    mesh = serving_mesh(args)
-    attn_impl = serving_attn_impl(args, mesh)
+def _build_model(args, mesh, attn_impl, seed=0):
     if args.demo:
         from visualcloze_tpu.pipeline import random_components
 
         model = random_components(
-            jax.random.PRNGKey(0), tiny=True, resolution=64, mesh=mesh,
+            jax.random.PRNGKey(seed), tiny=True, resolution=64, mesh=mesh,
             attn_impl=attn_impl,
         )
         model.solver = args.solver
         if args.quantize == "w8a8_smooth":
             model.calibrate_w8a8_smooth(steps=4, stride=2)
-    else:
-        from visualcloze_tpu.pipeline import build_visualcloze
+        return model
+    from visualcloze_tpu.pipeline import build_visualcloze
 
-        model = build_visualcloze(
-            model_path=args.model_path, model_name=args.model_name,
-            resolution=args.resolution, solver=args.solver, mesh=mesh,
-            quantize=args.quantize, attn_impl=attn_impl,
-        )
+    return build_visualcloze(
+        model_path=args.model_path, model_name=args.model_name,
+        resolution=args.resolution, solver=args.solver, mesh=mesh,
+        quantize=args.quantize, attn_impl=attn_impl,
+    )
 
+
+def main(argv=None):
+    args = parse_args(argv)
+    from inference import serving_attn_impl, serving_mesh
+    from visualcloze_tpu.pipeline import PipelinedServer, ReplicaPool
+    from visualcloze_tpu.pipeline.server import run_frontend
+    from visualcloze_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    mesh = serving_mesh(args)
+    attn_impl = serving_attn_impl(args, mesh)
     devices = jax.devices()
     disaggregate = mesh is None and len(devices) >= 2 and not args.no_disaggregate
-    enc_dev = devices[0] if disaggregate else None
-    dit_dev = devices[1] if disaggregate else None
+    warm_shapes = [
+        tuple(int(v) for v in g.split("x"))
+        for g in args.warmup_grids.split(",") if g
+    ] if args.warmup_grids else []
 
-    if args.warmup_grids:
-        shapes = [
-            tuple(int(v) for v in g.split("x"))
-            for g in args.warmup_grids.split(",") if g
-        ]
-        model.warmup(shapes, steps=4 if args.demo else 30)
+    replicas = []
+    for r in range(args.replicas):
+        model = _build_model(args, mesh, attn_impl, seed=0)
+        # replica r owns chip pair (2r, 2r+1) when the machine has them;
+        # otherwise replicas share the default device (still pipelining
+        # dispatch — useful for tests and single-chip overlap)
+        enc_dev = dit_dev = None
+        if disaggregate and args.replicas * 2 <= len(devices):
+            enc_dev, dit_dev = devices[2 * r], devices[2 * r + 1]
+        elif disaggregate and args.replicas == 1:
+            enc_dev, dit_dev = devices[0], devices[1]
+        if warm_shapes:
+            model.warmup(warm_shapes, steps=4 if args.demo else 30)
+        replicas.append(PipelinedServer(
+            model, encoder_device=enc_dev, dit_device=dit_dev,
+            max_inflight=args.max_inflight,
+        ))
+    server = replicas[0] if args.replicas == 1 else ReplicaPool(replicas)
 
     print(f"serving on {args.host}:{args.port} "
-          f"(disaggregated={disaggregate}, mesh={mesh is not None})")
-    run_server(
-        model, host=args.host, port=args.port,
-        encoder_device=enc_dev, dit_device=dit_dev,
-        max_inflight=args.max_inflight, max_queue=args.max_queue,
-        block=True,
+          f"(replicas={args.replicas}, disaggregated={disaggregate}, "
+          f"mesh={mesh is not None})")
+    run_frontend(
+        server, host=args.host, port=args.port,
+        max_inflight=args.max_inflight * args.replicas,
+        max_queue=args.max_queue, block=True,
     )
 
 

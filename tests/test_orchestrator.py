@@ -108,3 +108,37 @@ def test_pipelined_server_upsampling_parity():
 
 
 pytestmark = pytest.mark.slow  # 8-device mesh / full-stack CLI suite; fast lane skips
+
+
+def test_replica_pool_routes_least_loaded_and_matches():
+    """ReplicaPool over two replicas: concurrent queries spread across both,
+    every result matches the sequential path (same per-replica weights)."""
+    from visualcloze_tpu.pipeline import ReplicaPool
+
+    q1, q2 = _queries()
+    seq = random_components(jax.random.PRNGKey(0), tiny=True, resolution=64,
+                            attn_impl="xla")
+    seq.set_grid_size(*q1["grid_size"])
+    want = seq.process_images(
+        q1["images"], q1["prompts"], seed=q1["seed"], steps=q1["steps"],
+        is_upsampling=False,
+    )
+
+    replicas = [
+        PipelinedServer(
+            random_components(jax.random.PRNGKey(0), tiny=True, resolution=64,
+                              attn_impl="xla"),
+            max_inflight=1,
+        )
+        for _ in range(2)
+    ]
+    with ReplicaPool(replicas) as pool:
+        futs = [
+            pool.submit(q1["images"], q1["prompts"], grid_size=q1["grid_size"],
+                        seed=q1["seed"], steps=q1["steps"], is_upsampling=False)
+            for _ in range(4)
+        ]
+        outs = [f.result() for f in futs]
+    for out in outs:
+        np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(want[0]))
+    assert all(n == 0 for n in pool._inflight)

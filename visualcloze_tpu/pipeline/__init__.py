@@ -1,6 +1,6 @@
 from .visualcloze import VisualClozeModel
 from .loader import build_visualcloze, random_components
-from .orchestrator import PipelinedServer
+from .orchestrator import PipelinedServer, ReplicaPool
 from . import preprocessing
 
 __all__ = [
@@ -8,5 +8,6 @@ __all__ = [
     "build_visualcloze",
     "random_components",
     "PipelinedServer",
+    "ReplicaPool",
     "preprocessing",
 ]

@@ -38,6 +38,48 @@ _DEVICE_KEYS = (
 )
 
 
+class ReplicaPool:
+    """Least-loaded dispatch over N serving replicas (scale-out unit).
+
+    Denoise latency is compute-bound and batch-insensitive (measured flat
+    bs 1->4, docs/SERVING.md), so throughput scales by REPLICAS of the
+    single- or two-chip serving unit, not by batching. Each replica is a
+    PipelinedServer pinned to its own chip (pair); submit() routes to the
+    replica with the fewest in-flight queries. Duck-types PipelinedServer's
+    submit/close, so ServingFrontend (pipeline/server.py) serves a pool
+    transparently."""
+
+    def __init__(self, replicas: Sequence["PipelinedServer"]):
+        if not replicas:
+            raise ValueError("ReplicaPool needs at least one replica")
+        self.replicas = list(replicas)
+        self._inflight = [0] * len(self.replicas)
+        self._lock = threading.Lock()
+
+    def submit(self, *args, **kwargs) -> Future:
+        with self._lock:
+            i = min(range(len(self.replicas)), key=self._inflight.__getitem__)
+            self._inflight[i] += 1
+        fut = self.replicas[i].submit(*args, **kwargs)
+
+        def _done(_):
+            with self._lock:
+                self._inflight[i] -= 1
+
+        fut.add_done_callback(_done)
+        return fut
+
+    def close(self) -> None:
+        for r in self.replicas:
+            r.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 class PipelinedServer:
     """Two-chip pipelined serving over a staged VisualClozeModel.
 

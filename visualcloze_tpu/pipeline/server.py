@@ -240,6 +240,31 @@ class ServingFrontend:
         return httpd
 
 
+def run_frontend(
+    server,
+    host: str = "0.0.0.0",
+    port: int = 8000,
+    max_inflight: int = 2,
+    max_queue: int = 8,
+    block: bool = True,
+):
+    """HTTP frontend over any submit/close server (PipelinedServer or
+    ReplicaPool). block=False returns (httpd, frontend) with a daemon
+    thread serving — tests and embedding use this; block=True serves
+    forever."""
+    fe = ServingFrontend(server, max_queue=max_queue, max_inflight=max_inflight)
+    httpd = fe.serve(host, port)
+    if block:  # pragma: no cover - interactive path
+        try:
+            httpd.serve_forever()
+        finally:
+            server.close()
+        return None
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return httpd, fe
+
+
 def run_server(
     model,
     host: str = "0.0.0.0",
@@ -250,22 +275,12 @@ def run_server(
     max_queue: int = 8,
     block: bool = True,
 ):
-    """Wrap a VisualClozeModel in the pipelined orchestrator + HTTP frontend.
-
-    block=False returns (httpd, frontend) with a daemon thread serving —
-    tests and embedding use this; block=True serves forever."""
+    """Wrap a VisualClozeModel in the pipelined orchestrator + HTTP frontend."""
     ps = PipelinedServer(
         model, encoder_device=encoder_device, dit_device=dit_device,
         max_inflight=max_inflight,
     )
-    fe = ServingFrontend(ps, max_queue=max_queue, max_inflight=max_inflight)
-    httpd = fe.serve(host, port)
-    if block:  # pragma: no cover - interactive path
-        try:
-            httpd.serve_forever()
-        finally:
-            ps.close()
-        return None
-    t = threading.Thread(target=httpd.serve_forever, daemon=True)
-    t.start()
-    return httpd, fe
+    return run_frontend(
+        ps, host=host, port=port, max_inflight=max_inflight,
+        max_queue=max_queue, block=block,
+    )
