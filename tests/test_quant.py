@@ -398,6 +398,7 @@ def test_smooth_reduces_outlier_quant_error():
     assert err_smooth < 0.5 * err_plain, (err_smooth, err_plain)
 
 
+@pytest.mark.slow
 def test_flux_w8a8_smooth_forward_close():
     """Calibrate -> smooth-quantize -> forward: structure matches plain w8a8
     plus a_sinv leaves, and output error stays within the plain-w8a8 bound
@@ -441,6 +442,7 @@ def test_flux_w8a8_smooth_forward_close():
     assert corr > 0.97
 
 
+@pytest.mark.slow
 def test_w8a8_smooth_tree_roundtrips_serving_leaf_store(tmp_path):
     """The production single-chip path: a smooth-quantized tree persists
     through pipeline/serving's leaf store (a8/a_sinv leaves included) and
