@@ -255,10 +255,22 @@ def run_frontend(
     fe = ServingFrontend(server, max_queue=max_queue, max_inflight=max_inflight)
     httpd = fe.serve(host, port)
     if block:  # pragma: no cover - interactive path
+        import signal as _signal
+
+        def _stop(signum, frame):
+            del frame
+            print(f"signal {signum}: draining in-flight queries and stopping")
+            threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+        try:
+            _signal.signal(_signal.SIGTERM, _stop)
+            _signal.signal(_signal.SIGINT, _stop)
+        except ValueError:
+            pass  # not the main thread
         try:
             httpd.serve_forever()
         finally:
-            server.close()
+            server.close()  # waits for in-flight futures (pool shutdown)
         return None
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
