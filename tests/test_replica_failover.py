@@ -1,0 +1,88 @@
+"""ReplicaPool failover: retries, health accounting, last-resort dispatch.
+
+Fast lane — uses duck-typed fake replicas (ReplicaPool only needs
+submit/close), no models or devices.
+"""
+
+from concurrent.futures import Future
+
+import pytest
+
+from visualcloze_tpu.pipeline.orchestrator import ReplicaPool
+
+
+class FakeReplica:
+    """submit() resolves immediately: value for healthy, exception when
+    failing. Records every call so tests can assert routing."""
+
+    def __init__(self, name: str, failing: bool = False):
+        self.name = name
+        self.failing = failing
+        self.calls = 0
+        self.closed = False
+
+    def submit(self, *args, **kwargs) -> Future:
+        self.calls += 1
+        fut: Future = Future()
+        if self.failing:
+            fut.set_exception(RuntimeError(f"{self.name} crashed"))
+        else:
+            fut.set_result(f"{self.name}:{args[0] if args else ''}")
+        return fut
+
+    def close(self) -> None:
+        self.closed = True
+
+
+def test_failover_retries_on_healthy_replica():
+    bad, good = FakeReplica("bad", failing=True), FakeReplica("good")
+    pool = ReplicaPool([bad, good])
+    # least-loaded picks index 0 (bad) first; the query must still succeed
+    assert pool.submit("q").result(timeout=5) == "good:q"
+    assert bad.calls == 1 and good.calls == 1
+    health = pool.health()
+    assert health[0]["consecutive_failures"] == 1
+    assert health[1] == {"in_flight": 0, "consecutive_failures": 0, "healthy": True}
+
+
+def test_unhealthy_replica_leaves_dispatch_set():
+    bad, good = FakeReplica("bad", failing=True), FakeReplica("good")
+    pool = ReplicaPool([bad, good], unhealthy_after=3)
+    for _ in range(3):
+        pool.submit("q").result(timeout=5)
+    assert not pool.health()[0]["healthy"]
+    bad_calls = bad.calls
+    for _ in range(4):
+        assert pool.submit("q").result(timeout=5) == "good:q"
+    assert bad.calls == bad_calls  # no longer dispatched to
+
+
+def test_recovery_resets_failures():
+    flaky, other = FakeReplica("flaky", failing=True), FakeReplica("other", failing=True)
+    pool = ReplicaPool([flaky, other], unhealthy_after=2)
+    for _ in range(2):
+        with pytest.raises(RuntimeError):
+            pool.submit("q").result(timeout=5)
+    assert [h["healthy"] for h in pool.health()] == [False, False]
+    # all unhealthy: the pool still tries them (recovery probe); a success
+    # restores the replica to the dispatch set
+    flaky.failing = False
+    assert pool.submit("q").result(timeout=5).startswith("flaky:")
+    assert pool.health()[0] == {
+        "in_flight": 0, "consecutive_failures": 0, "healthy": True,
+    }
+
+
+def test_all_replicas_fail_raises_last_error():
+    a, b = FakeReplica("a", failing=True), FakeReplica("b", failing=True)
+    pool = ReplicaPool([a, b])
+    with pytest.raises(RuntimeError, match="crashed"):
+        pool.submit("q").result(timeout=5)
+    assert a.calls == 1 and b.calls == 1  # one try per replica, no loops
+
+
+def test_close_closes_all_replicas():
+    rs = [FakeReplica("a"), FakeReplica("b")]
+    with ReplicaPool(rs) as pool:
+        pool.submit("q").result(timeout=5)
+    assert all(r.closed for r in rs)

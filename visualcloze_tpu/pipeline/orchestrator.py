@@ -47,27 +47,89 @@ class ReplicaPool:
     PipelinedServer pinned to its own chip (pair); submit() routes to the
     replica with the fewest in-flight queries. Duck-types PipelinedServer's
     submit/close, so ServingFrontend (pipeline/server.py) serves a pool
-    transparently."""
+    transparently.
 
-    def __init__(self, replicas: Sequence["PipelinedServer"]):
+    Failover: a query that fails on one replica is retried once per
+    remaining replica (a crashed chip must not fail user queries while
+    healthy replicas exist). A replica with `unhealthy_after` CONSECUTIVE
+    failures stops receiving new queries until one of its retries succeeds
+    (it is still tried last-resort when every replica is unhealthy, which
+    doubles as its recovery probe). `health()` reports per-replica state."""
+
+    def __init__(
+        self,
+        replicas: Sequence["PipelinedServer"],
+        unhealthy_after: int = 3,
+    ):
         if not replicas:
             raise ValueError("ReplicaPool needs at least one replica")
         self.replicas = list(replicas)
+        self.unhealthy_after = unhealthy_after
         self._inflight = [0] * len(self.replicas)
+        self._failures = [0] * len(self.replicas)  # consecutive
         self._lock = threading.Lock()
 
-    def submit(self, *args, **kwargs) -> Future:
+    def _pick(self, tried: set[int]) -> int | None:
+        """Least-loaded among healthy untried replicas; any untried one when
+        none are healthy; None when all have been tried."""
         with self._lock:
-            i = min(range(len(self.replicas)), key=self._inflight.__getitem__)
+            untried = [i for i in range(len(self.replicas)) if i not in tried]
+            if not untried:
+                return None
+            healthy = [
+                i for i in untried if self._failures[i] < self.unhealthy_after
+            ]
+            pool = healthy or untried
+            i = min(pool, key=self._inflight.__getitem__)
             self._inflight[i] += 1
-        fut = self.replicas[i].submit(*args, **kwargs)
+            return i
 
-        def _done(_):
+    def _dispatch(self, out: Future, tried: set[int], args, kwargs) -> None:
+        i = self._pick(tried)
+        if i is None:  # defensive: callers check len(tried) before recursing
+            if not out.done():
+                out.set_exception(RuntimeError("no replica available"))
+            return
+        tried.add(i)
+        inner = self.replicas[i].submit(*args, **kwargs)
+
+        def _done(f: Future):
             with self._lock:
                 self._inflight[i] -= 1
+            err = f.exception()
+            if err is None:
+                with self._lock:
+                    self._failures[i] = 0
+                out.set_result(f.result())
+                return
+            with self._lock:
+                self._failures[i] += 1
+                more = len(tried) < len(self.replicas)
+            if more:
+                self._dispatch(out, tried, args, kwargs)
+            else:
+                out.set_exception(err)
 
-        fut.add_done_callback(_done)
-        return fut
+        inner.add_done_callback(_done)
+
+    def submit(self, *args, **kwargs) -> Future:
+        out: Future = Future()
+        out.set_running_or_notify_cancel()
+        self._dispatch(out, set(), args, kwargs)
+        return out
+
+    def health(self) -> list[dict[str, int | bool]]:
+        """Per-replica snapshot for /healthz: in-flight load, consecutive
+        failures, and whether the replica is in the dispatch set."""
+        with self._lock:
+            return [
+                {
+                    "in_flight": self._inflight[i],
+                    "consecutive_failures": self._failures[i],
+                    "healthy": self._failures[i] < self.unhealthy_after,
+                }
+                for i in range(len(self.replicas))
+            ]
 
     def close(self) -> None:
         for r in self.replicas:

@@ -190,9 +190,13 @@ class ServingFrontend:
 
             def do_GET(self):
                 if self.path == "/healthz":
-                    self._send(200, json.dumps(
-                        {"ok": True, "queue_depth": fe.queue_depth}
-                    ))
+                    payload = {"ok": True, "queue_depth": fe.queue_depth}
+                    health = getattr(fe.server, "health", None)
+                    if callable(health):  # ReplicaPool reports per-replica
+                        replicas = health()
+                        payload["replicas"] = replicas
+                        payload["ok"] = any(r["healthy"] for r in replicas)
+                    self._send(200, json.dumps(payload))
                 elif self.path == "/metrics":
                     self._send(200, fe.metrics.render(fe.queue_depth),
                                ctype="text/plain; version=0.0.4")
