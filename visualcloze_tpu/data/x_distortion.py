@@ -502,6 +502,10 @@ def quantization_hist(img: Array, severity: int = 1, rng=None) -> Array:
     else:
         lut = _u8((cdf - nz.min()) * 255 / (nz.max() - nz.min()))
         lut[cdf == 0] = 0
+    # NOTE: the round(v/255*(c-1)) lookup law does not match np.histogram's
+    # floor binning — this mirrors the reference exactly (ref x_distortion/
+    # quantization.py:60-66 uses the same mismatched pair), because the
+    # synthesized training distribution must match, warts and all.
     idx = np.uint8(np.round(np.asarray(img, np.float64) / 255 * (c - 1)))
     return lut[idx]
 

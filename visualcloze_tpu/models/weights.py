@@ -147,7 +147,10 @@ def convert_flux(state: State, cfg: FluxConfig, dtype=None) -> Params:
         ]
     )
     if dtype is not None:
-        params = jax.tree.map(lambda x: x.astype(dtype), params)
+        # copy=False: leaves already cast by _lin/block pass through instead
+        # of being duplicated (a full-copy here transiently doubled host
+        # memory on a 12B checkpoint load)
+        params = jax.tree.map(lambda x: x.astype(dtype, copy=False), params)
     return params
 
 
@@ -509,7 +512,7 @@ def flux_to_diffusers_state(params: Params, cfg: FluxConfig) -> dict[str, np.nda
             move(b + bfl_key, d + dif)
         for bfl_key, dif in _D_SINGLE_NORMS.items():
             out[d + dif] = bfl[b + bfl_key]
-        split(b + "linear1", _D_LINEAR1, d, [h, h, h, 4 * h])
+        split(b + "linear1", _D_LINEAR1, d, [h, h, h, cfg.mlp_hidden_dim])
     return out
 
 
@@ -638,7 +641,7 @@ def convert_lora_diffusers(state: State, cfg: FluxConfig, dtype=None) -> Params:
                     _set(p, tuple(bfl_key.split(".")), e)
             e = _fuse_lora_entries(
                 [_d_lora_entry(state, d + part, dtype) for part in _D_LINEAR1],
-                [h, h, h, 4 * h], dtype,
+                [h, h, h, cfg.mlp_hidden_dim], dtype,
             )
             if e is not None:
                 _set(p, ("linear1",), e)
@@ -688,8 +691,6 @@ def lora_to_diffusers_state(lora: Params, cfg: FluxConfig) -> dict[str, np.ndarr
                 out[f"transformer.{prefix}{p}.lora_B.bias"] = bias[lo:hi]
 
     for bfl_key, dif in _D_TOP.items():
-        if bfl_key == "final_layer.adaLN_modulation.1":
-            continue
         move(bfl_key, dif)
     move("final_layer.adaLN_modulation.1", "norm_out.linear", swap_final=True)
     for i in range(cfg.depth):
@@ -702,7 +703,7 @@ def lora_to_diffusers_state(lora: Params, cfg: FluxConfig) -> dict[str, np.ndarr
         b, d = f"single_blocks.{i}.", f"single_transformer_blocks.{i}."
         for bfl_key, dif in _D_SINGLE.items():
             move(b + bfl_key, d + dif)
-        split(b + "linear1", _D_LINEAR1, d, [h, h, h, 4 * h])
+        split(b + "linear1", _D_LINEAR1, d, [h, h, h, cfg.mlp_hidden_dim])
     return out
 
 

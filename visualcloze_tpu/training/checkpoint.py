@@ -41,17 +41,18 @@ def save_checkpoint(
     ckpt_dir.mkdir(parents=True, exist_ok=True)
 
     with ocp.PyTreeCheckpointer() as ckptr:
+        # the jax.Arrays go to orbax as-is: it writes per-shard (multi-host
+        # safe — FSDP leaves are not addressable from one process there) and
+        # never gathers the full state into host RAM
         ckptr.save(
             (ckpt_dir / "state").absolute(),
-            jax.device_get(
-                {
-                    "params": state.params,
-                    "lora": state.lora,
-                    "opt_state": state.opt_state,
-                    "ema": state.ema,
-                    "step": state.step,
-                }
-            ),
+            {
+                "params": state.params,
+                "lora": state.lora,
+                "opt_state": state.opt_state,
+                "ema": state.ema,
+                "step": state.step,
+            },
         )
 
     from ..models.lora import is_moe_lora
@@ -65,6 +66,9 @@ def save_checkpoint(
 
     if model_args is not None:
         (ckpt_dir / "model_args.json").write_text(json.dumps(model_args, indent=2))
+    # written LAST: doubles as the commit marker — find_latest_checkpoint
+    # ignores directories without it, so a save interrupted mid-write (chip
+    # preemption) can never brick or silently zero-step an --auto_resume
     (ckpt_dir / "resume_step.txt").write_text(str(step))
     return str(ckpt_dir)
 
@@ -77,11 +81,18 @@ def _save_torch_lora(path: Path, lora, flux_cfg: FluxConfig) -> None:
 
 
 def find_latest_checkpoint(ckpt_root: str) -> str | None:
-    """Latest step directory (ref train.py:307-316 auto_resume)."""
+    """Latest COMPLETE step directory (ref train.py:307-316 auto_resume).
+
+    Completeness = resume_step.txt present (save_checkpoint writes it last);
+    a directory from an interrupted save is skipped so auto-resume falls
+    back to the previous good checkpoint."""
     root = Path(ckpt_root)
     if not root.is_dir():
         return None
-    dirs = sorted(d for d in root.iterdir() if re.fullmatch(r"\d{7}", d.name))
+    dirs = sorted(
+        d for d in root.iterdir()
+        if re.fullmatch(r"\d{7}", d.name) and (d / "resume_step.txt").exists()
+    )
     return str(dirs[-1]) if dirs else None
 
 

@@ -248,9 +248,12 @@ def main(argv=None) -> None:
         resume_dir = ckpt.find_latest_checkpoint(ckpt_root)
     if resume_dir:
         logger.info("resuming from %s", resume_dir)
-        template = jax.device_get(
+        # abstract template: shapes/dtypes only — never gathers the freshly
+        # initialized (possibly multi-host-sharded) state onto one host
+        template = jax.tree.map(
+            lambda l: jax.ShapeDtypeStruct(jnp.shape(l), l.dtype),
             {"params": state.params, "lora": state.lora,
-             "opt_state": state.opt_state, "ema": state.ema, "step": state.step}
+             "opt_state": state.opt_state, "ema": state.ema, "step": state.step},
         )
         restored = ckpt.load_checkpoint(resume_dir, abstract_state=template)
         # reshard-on-restore: leaves go back onto the CURRENT mesh's shardings
