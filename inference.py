@@ -49,6 +49,12 @@ def parse_args(argv=None):
     p.add_argument("--cp", type=int, default=1,
                    help="sequence parallelism: ring attention over N devices "
                         "for very long grids (e.g. 5x5 at 512 = ~26k tokens)")
+    p.add_argument("--lora", action="append", default=[], metavar="NAME=PATH",
+                   help="register a runtime LoRA adapter (repeatable; "
+                        "'random' with --demo builds a tiny random one)")
+    p.add_argument("--adapter", default=None,
+                   help="runtime adapter to apply to this query (--lora name)")
+    p.add_argument("--lora_scale", type=float, default=1.0)
     p.add_argument("--quantize", default=None,
                    choices=[None, "int8", "w8a8", "w8a8_smooth"],
                    help="int8 DiT: weight-only (int8) or dynamic-activation "
@@ -130,6 +136,10 @@ def main(argv=None):
             quantize=args.quantize,
             attn_impl=serving_attn_impl(args, mesh),
         )
+    if args.lora:
+        from serve import _add_adapters
+
+        _add_adapters(model, args)
 
     grid = [
         [None if cell.strip() == "MASK" else Image.open(cell.strip()).convert("RGB")
@@ -152,6 +162,7 @@ def main(argv=None):
         upsampling_steps=args.upsampling_steps,
         upsampling_noise=args.upsampling_noise,
         is_upsampling=not args.no_upsampling,
+        adapter=args.adapter,
     )
     images[0].save(args.output)
     print(f"saved {args.output} ({images[0].size})")

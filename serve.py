@@ -37,6 +37,15 @@ def parse_args(argv=None):
     p.add_argument("--fsdp", type=int, default=1)
     p.add_argument("--cp", type=int, default=1,
                    help="ring-attention sequence parallelism for long grids")
+    p.add_argument("--lora", action="append", default=[], metavar="NAME=PATH",
+                   help="register a runtime LoRA adapter, selectable per "
+                        "request via the JSON 'adapter' field; repeatable. "
+                        "PATH: reference-trainer .pth or diffusers LoRA "
+                        "safetensors ('random' with --demo builds a random "
+                        "tiny adapter). Applied UN-folded, so one base tree "
+                        "serves every adapter with zero recompiles")
+    p.add_argument("--lora_scale", type=float, default=1.0,
+                   help="scale for runtime adapters (ref lora.py:92-98)")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--replicas", type=int, default=1,
@@ -58,6 +67,37 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def _parse_adapters(specs: list[str]) -> dict[str, str]:
+    out = {}
+    for spec in specs:
+        if "=" not in spec:
+            raise SystemExit(f"--lora expects NAME=PATH, got {spec!r}")
+        name, path = spec.split("=", 1)
+        out[name] = path
+    return out
+
+
+def _add_adapters(model, args):
+    from visualcloze_tpu.models.lora import init_lora, randomize_lora_b
+    from visualcloze_tpu.pipeline.loader import (
+        convert_lora_any,
+        load_torch_checkpoint,
+    )
+
+    model.lora_scale = args.lora_scale
+    for i, (name, path) in enumerate(_parse_adapters(args.lora).items()):
+        if path == "random":
+            if not args.demo:
+                raise SystemExit("--lora NAME=random needs --demo")
+            tree = randomize_lora_b(
+                init_lora(jax.random.PRNGKey(100 + i), model.params, rank=4),
+                jax.random.PRNGKey(200 + i),
+            )
+        else:
+            tree = convert_lora_any(load_torch_checkpoint(path), model.cfg)
+        model.add_adapter(name, tree)
+
+
 def _build_model(args, mesh, attn_impl, seed=0):
     if args.demo:
         from visualcloze_tpu.pipeline import random_components
@@ -69,14 +109,17 @@ def _build_model(args, mesh, attn_impl, seed=0):
         model.solver = args.solver
         if args.quantize == "w8a8_smooth":
             model.calibrate_w8a8_smooth(steps=4, stride=2)
+        _add_adapters(model, args)
         return model
     from visualcloze_tpu.pipeline import build_visualcloze
 
-    return build_visualcloze(
+    model = build_visualcloze(
         model_path=args.model_path, model_name=args.model_name,
         resolution=args.resolution, solver=args.solver, mesh=mesh,
         quantize=args.quantize, attn_impl=attn_impl,
     )
+    _add_adapters(model, args)
+    return model
 
 
 def main(argv=None):

@@ -1,0 +1,158 @@
+"""Runtime (unfolded) multi-LoRA adapter serving.
+
+The reference serves ONE LoRA folded into the weights per process; here
+named adapters are registered on the pipeline and selected per query — one
+base tree, one compiled denoise program (the lora pytree is a jit argument),
+N tasks. Correctness anchor: runtime application must match folding the same
+adapter into the weights.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from visualcloze_tpu.config import FluxConfig
+from visualcloze_tpu.models.flux import flux_apply, init_flux
+from visualcloze_tpu.models.lora import fold_lora, init_lora, randomize_lora_b
+from visualcloze_tpu.models.weights import (
+    permute_rope_layout,
+    permute_rope_layout_lora,
+)
+from visualcloze_tpu.pipeline import random_components
+
+CFG = FluxConfig().tiny()
+
+
+def _lora_for(params, seed=3, rank=2):
+    return randomize_lora_b(
+        init_lora(jax.random.PRNGKey(seed), params, rank=rank),
+        jax.random.PRNGKey(seed + 50),
+    )
+
+
+def _inp(rng, l_img=8, l_txt=4):
+    return dict(
+        img=jnp.asarray(rng.standard_normal((1, l_img, CFG.in_channels)), jnp.float32),
+        img_ids=jnp.zeros((1, l_img, 3)),
+        txt=jnp.asarray(rng.standard_normal((1, l_txt, CFG.context_in_dim)), jnp.float32),
+        txt_ids=jnp.zeros((1, l_txt, 3)),
+        timesteps=jnp.full((1,), 0.5),
+        y=jnp.asarray(rng.standard_normal((1, CFG.vec_in_dim)), jnp.float32),
+        guidance=jnp.full((1,), 4.0),
+    )
+
+
+def test_permute_rope_layout_lora_matches_interleaved():
+    """half-layout base + half-permuted adapter == interleaved base + raw
+    adapter (attention is invariant to the consistent q/k channel perm)."""
+    params = init_flux(jax.random.PRNGKey(0), CFG)
+    lora = _lora_for(params)
+    rng = np.random.default_rng(1)
+    inp = _inp(rng)
+
+    want = np.asarray(
+        flux_apply(CFG, params, **inp, attn_impl="xla",
+                   rope_layout="interleaved", lora=lora, lora_scale=1.0),
+        np.float32,
+    )
+    got = np.asarray(
+        flux_apply(
+            CFG, permute_rope_layout(params, CFG), **inp, attn_impl="xla",
+            rope_layout="half", lora=permute_rope_layout_lora(lora, CFG),
+            lora_scale=1.0,
+        ),
+        np.float32,
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_runtime_adapter_matches_folded_and_differs_from_base():
+    mA = random_components(jax.random.PRNGKey(0), tiny=True, resolution=64,
+                           attn_impl="xla")
+    mB = random_components(jax.random.PRNGKey(0), tiny=True, resolution=64,
+                           attn_impl="xla")
+    lora = _lora_for(mA.params, seed=7)
+    mA.add_adapter("task", lora)  # permutes into mA's half layout
+    # fold the SAME (already-permuted) adapter into B's identical weights
+    mB.params = fold_lora(mB.params, mA.adapters["task"], scale=1.0)
+
+    img = Image.fromarray(
+        np.random.default_rng(0).integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    )
+    grid = [[img, img], [img, None]]
+    prompts = ["layout", "task", "content"]
+    for m in (mA, mB):
+        m.set_grid_size(2, 2)
+
+    out_adapter = mA.process_images(grid, prompts, seed=5, steps=2,
+                                    is_upsampling=False, adapter="task")
+    out_folded = mB.process_images(grid, prompts, seed=5, steps=2,
+                                   is_upsampling=False)
+    out_base = mA.process_images(grid, prompts, seed=5, steps=2,
+                                 is_upsampling=False)
+
+    a = np.asarray(out_adapter[0], np.float32)
+    f = np.asarray(out_folded[0], np.float32)
+    b = np.asarray(out_base[0], np.float32)
+    # runtime-vs-folded differ only by float association; base must differ
+    assert np.mean(np.abs(a - f)) < 1.0, np.mean(np.abs(a - f))
+    assert np.mean(np.abs(a - b)) > 2.0 * max(np.mean(np.abs(a - f)), 0.1)
+
+
+def test_adapter_through_upsampling_stage():
+    m = random_components(jax.random.PRNGKey(0), tiny=True, resolution=64,
+                          attn_impl="xla")
+    m.add_adapter("task", _lora_for(m.params, seed=9))
+    img = Image.fromarray(
+        np.random.default_rng(1).integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    )
+    m.set_grid_size(1, 2)
+    out = m.process_images(
+        [[img, None]], ["layout", "task", "content"], seed=4, steps=2,
+        upsampling_steps=2, is_upsampling=True, adapter="task",
+    )
+    assert len(out) == 1 and out[0].size[0] >= 64
+
+
+def test_unknown_adapter_raises_before_any_work():
+    m = random_components(jax.random.PRNGKey(0), tiny=True, resolution=64,
+                          attn_impl="xla")
+    m.set_grid_size(1, 2)
+    img = Image.new("RGB", (64, 64))
+    with pytest.raises(ValueError, match="unknown adapter"):
+        m.process_images([[img, None]], ["l", "t", "c"], adapter="nope")
+    with pytest.raises(ValueError, match="unknown adapter"):
+        m.prepare_upsampling(img, (64, 64), 30.0, upsampling_steps=2,
+                             upsampling_noise=0.4, key=jax.random.PRNGKey(0),
+                             content_prompt="", adapter="nope")
+
+
+@pytest.mark.slow
+def test_orchestrator_carries_adapter():
+    """PipelinedServer with adapter == sequential path with adapter."""
+    from visualcloze_tpu.pipeline.orchestrator import PipelinedServer
+
+    seq = random_components(jax.random.PRNGKey(0), tiny=True, resolution=64,
+                            attn_impl="xla")
+    srv_model = random_components(jax.random.PRNGKey(0), tiny=True,
+                                  resolution=64, attn_impl="xla")
+    lora = _lora_for(seq.params, seed=11)
+    seq.add_adapter("task", lora)
+    srv_model.add_adapter("task", lora)
+
+    img = Image.fromarray(
+        np.random.default_rng(2).integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    )
+    grid = [[img, None]]
+    prompts = ["layout", "task", "content"]
+    seq.set_grid_size(1, 2)
+    want = seq.process_images(grid, prompts, seed=6, steps=2,
+                              upsampling_steps=2, is_upsampling=True,
+                              adapter="task")
+    with PipelinedServer(srv_model, max_inflight=1) as srv:
+        got = srv.submit(grid, prompts, grid_size=(1, 2), seed=6, steps=2,
+                         upsampling_steps=2, is_upsampling=True,
+                         adapter="task").result(timeout=600)
+    np.testing.assert_array_equal(np.asarray(want[0]), np.asarray(got[0]))

@@ -86,3 +86,24 @@ def test_close_closes_all_replicas():
     with ReplicaPool(rs) as pool:
         pool.submit("q").result(timeout=5)
     assert all(r.closed for r in rs)
+
+
+class ValueErrorReplica(FakeReplica):
+    def submit(self, *args, **kwargs) -> Future:
+        self.calls += 1
+        fut: Future = Future()
+        fut.set_exception(ValueError("unknown adapter 'x'"))
+        return fut
+
+
+def test_client_errors_do_not_failover_or_count():
+    """A ValueError (bad request / unknown adapter) is deterministic on every
+    replica: no retry, and it must not poison replica health."""
+    a, b = ValueErrorReplica("a"), FakeReplica("b")
+    pool = ReplicaPool([a, b])
+    for _ in range(5):
+        with pytest.raises(ValueError, match="unknown adapter"):
+            pool.submit("q").result(timeout=5)
+    assert b.calls == 0  # never retried on the other replica
+    assert all(h["healthy"] and h["consecutive_failures"] == 0
+               for h in pool.health())

@@ -68,6 +68,25 @@ def init_lora(
     return out
 
 
+def randomize_lora_b(lora: Params, key: jax.Array, scale: float = 0.02) -> Params:
+    """Replace the zero-init "b" factors with small random values, making the
+    adapter a visible (but bounded) perturbation. Demo/test seam: a freshly
+    init_lora'd adapter is a mathematical no-op (B=0, reference lora.py
+    zero-init), which is correct for training but useless for exercising the
+    runtime-adapter serving path."""
+    import zlib
+
+    import jax.tree_util as jtu
+
+    def f(path, x):
+        if getattr(path[-1], "key", None) != "b":
+            return x
+        k = jax.random.fold_in(key, zlib.crc32(jtu.keystr(path).encode()))
+        return scale * jax.random.normal(k, x.shape, x.dtype)
+
+    return jtu.tree_map_with_path(f, lora)
+
+
 def init_moe_lora(
     key: jax.Array,
     params: Params,

@@ -249,6 +249,49 @@ def permute_rope_layout(params: Params, cfg: FluxConfig) -> Params:
     return out
 
 
+def permute_rope_layout_lora(lora: Params, cfg: FluxConfig) -> Params:
+    """Adapter counterpart of permute_rope_layout: a runtime (unfolded) LoRA
+    tree applied on top of "half"-layout base params must write its qkv /
+    linear1 deltas in the same permuted channel order. Only the OUTPUT side
+    moves — lora "b" columns and "b_bias" — because the permutation acts on
+    the projection's output channels; "a" reads the unpermuted input stream.
+    Entries are optional (LoRA checkpoints may cover a subset of linears)."""
+    import jax.numpy as jnp
+
+    h, nh, d = cfg.hidden_size, cfg.num_heads, cfg.head_dim
+    perm_d = _half_perm(d)
+    qkv_perm = np.arange(3 * h)
+    for kk in range(2):
+        for head in range(nh):
+            base = kk * h + head * d
+            qkv_perm[base : base + d] = base + perm_d
+
+    def permute_entry(e):
+        new = dict(e)
+        b = np.asarray(e["b"])
+        full = np.arange(b.shape[-1])
+        full[: len(qkv_perm)] = qkv_perm
+        new["b"] = jnp.asarray(b[..., full])
+        if "b_bias" in e:
+            new["b_bias"] = jnp.asarray(np.asarray(e["b_bias"])[..., full])
+        return new
+
+    out = dict(lora)
+    if "double_blocks" in lora:
+        db = dict(lora["double_blocks"])
+        for stream in ("img_attn", "txt_attn"):
+            if stream in db and "qkv" in db[stream]:
+                s = dict(db[stream])
+                s["qkv"] = permute_entry(s["qkv"])
+                db[stream] = s
+        out["double_blocks"] = db
+    if "single_blocks" in lora and "linear1" in lora["single_blocks"]:
+        sb = dict(lora["single_blocks"])
+        sb["linear1"] = permute_entry(sb["linear1"])
+        out["single_blocks"] = sb
+    return out
+
+
 # ----------------------------- LoRA -----------------------------
 
 def _lora_entry(state: State, key: str, dtype=None) -> Params | None:

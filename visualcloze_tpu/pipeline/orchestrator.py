@@ -102,6 +102,11 @@ class ReplicaPool:
                     self._failures[i] = 0
                 out.set_result(f.result())
                 return
+            if isinstance(err, ValueError):
+                # client error (bad request/adapter): deterministic on every
+                # replica — no retry, and it says nothing about chip health
+                out.set_exception(err)
+                return
             with self._lock:
                 self._failures[i] += 1
                 more = len(tried) < len(self.replicas)
@@ -196,16 +201,17 @@ class PipelinedServer:
         upsampling_steps: int = 10,
         upsampling_noise: float = 0.4,
         is_upsampling: bool = True,
+        adapter: str | None = None,
     ) -> Future:
         """Enqueue one query; returns a Future of list[PIL.Image].
 
         grid_size is per-query (explicit (h, w)) — the server never touches
         the model's set_grid_size state, so concurrent queries with different
-        grids are safe.
+        grids are safe. `adapter` selects a registered runtime LoRA.
         """
         return self._pool.submit(
             self._run, images, prompts, grid_size, seed, cfg, steps,
-            upsampling_steps, upsampling_noise, is_upsampling,
+            upsampling_steps, upsampling_noise, is_upsampling, adapter,
         )
 
     def close(self) -> None:
@@ -238,12 +244,13 @@ class PipelinedServer:
 
     def _run(
         self, images, prompts, grid_size, seed, cfg, steps,
-        upsampling_steps, upsampling_noise, is_upsampling,
+        upsampling_steps, upsampling_noise, is_upsampling, adapter=None,
     ) -> list[Image.Image]:
         m = self.model
         with self._enc_lock:
             q = m.prepare_query(
-                images, prompts, seed=seed, cfg=cfg, steps=steps, grid_size=grid_size
+                images, prompts, seed=seed, cfg=cfg, steps=steps,
+                grid_size=grid_size, adapter=adapter,
             )
         samples = self._denoise_on_dit(q)
         with self._enc_lock:
@@ -263,6 +270,7 @@ class PipelinedServer:
                     upsampling_steps=upsampling_steps,
                     upsampling_noise=upsampling_noise,
                     key=uk, content_prompt=q["content_prompt"],
+                    adapter=q.get("adapter"),
                 )
             if isinstance(uq, Image.Image):  # noise >= 1.0: plain resize
                 out.append(uq)

@@ -16,7 +16,8 @@ Request schema (application/json):
     "prompts": [layout, task, content],
     "grid_size": [h, w],                          # optional (inferred)
     "seed": 0, "cfg": 30.0, "steps": 30,
-    "upsampling": true, "upsampling_steps": 10, "upsampling_noise": 0.4
+    "upsampling": true, "upsampling_steps": 10, "upsampling_noise": 0.4,
+    "adapter": "name"                             # optional runtime LoRA
   }
 Response: {"images": [<b64 PNG>, ...], "latency_s": float, "id": str}
 
@@ -165,6 +166,7 @@ class ServingFrontend:
             upsampling_steps=int(body.get("upsampling_steps", 10)),
             upsampling_noise=float(body.get("upsampling_noise", 0.4)),
             is_upsampling=bool(body.get("upsampling", True)),
+            adapter=body.get("adapter"),
         )
         images = fut.result()
         return {"images": [_image_to_b64(im) for im in images]}

@@ -72,6 +72,8 @@ class VisualClozeModel:
         attn_impl: str = "auto",
         max_length: int = 512,
         rope_layout: str = "half",
+        adapters: dict[str, dict] | None = None,
+        lora_scale: float = 1.0,
     ):
         self.cfg = flux_cfg
         if rope_layout == "half":
@@ -80,6 +82,14 @@ class VisualClozeModel:
             flux_params = permute_rope_layout(flux_params, flux_cfg)
         self.rope_layout = rope_layout
         self.params = flux_params
+        # named runtime (unfolded) LoRA adapters, selectable per query —
+        # multi-task serving without N folded weight trees. Same-structure
+        # adapters share ONE compiled denoise program (the lora pytree is a
+        # jit argument); capacity note in docs/SERVING.md.
+        self.adapters: dict[str, dict] = {}
+        self.lora_scale = lora_scale
+        for name, tree in (adapters or {}).items():
+            self.add_adapter(name, tree)
         self.ae = ae
         self.t5 = t5
         self.clip = clip
@@ -103,6 +113,26 @@ class VisualClozeModel:
     def _ae_with(self, params):
         return AutoEncoder(self.ae.cfg, params)
 
+    def add_adapter(self, name: str, lora: dict) -> None:
+        """Register a runtime LoRA adapter (tree from models.lora.init_lora /
+        weights.convert_lora / the diffusers converter). Applied un-folded at
+        denoise time — the reference's FluxLoraWrapper runtime-add semantics
+        (lora.py:92-98) — so one base tree serves many adapters."""
+        if self.rope_layout == "half":
+            from ..models.weights import permute_rope_layout_lora
+
+            lora = permute_rope_layout_lora(lora, self.cfg)
+        self.adapters[name] = lora
+
+    def _resolve_adapter(self, name: str | None) -> dict | None:
+        if name is None:
+            return None
+        if name not in self.adapters:
+            raise ValueError(
+                f"unknown adapter {name!r}; loaded: {sorted(self.adapters)}"
+            )
+        return self.adapters[name]
+
     # ----------------------------- public API -----------------------------
 
     def set_grid_size(self, h: int, w: int) -> None:
@@ -111,7 +141,8 @@ class VisualClozeModel:
 
     def warmup(self, grid_shapes: list[tuple[int, int]], steps: int = 30,
                upsampling_steps: int = 10, upsampling_noise: float = 0.4,
-               upsampling_sizes: list[tuple[int, int]] | None = None) -> None:
+               upsampling_sizes: list[tuple[int, int]] | None = None,
+               warm_adapters: bool = True) -> None:
         """Pre-compile the denoise/encode/decode programs for the given
         (grid_h, grid_w) shapes plus the SDEdit stage (different seq len and
         step count — SURVEY.md §7 'SDEdit recompilation'). Serving setups call
@@ -121,16 +152,22 @@ class VisualClozeModel:
         stage for — the in-grid pass only covers targets at `resolution`
         (the stage-2 sequence length follows the QUERY image's native size,
         so e.g. 1024x768 requests hit a different bucket)."""
+        # all same-rank adapters share one compiled program (the lora tree is
+        # a jit ARGUMENT), so warming the first adapter covers the rest
+        adapter_passes: list[str | None] = [None]
+        if warm_adapters and self.adapters:
+            adapter_passes.append(next(iter(self.adapters)))
         for gh, gw in grid_shapes:
             self.set_grid_size(gh, gw)
             blank = Image.new("RGB", (self.resolution, self.resolution), (0, 0, 0))
             grid = [[blank] * gw for _ in range(gh)]
             grid[-1][-1] = None
-            self.process_images(
-                grid, ["warmup", "", ""], seed=1, steps=steps,
-                upsampling_steps=upsampling_steps, upsampling_noise=upsampling_noise,
-                is_upsampling=True,
-            )
+            for adapter in adapter_passes:
+                self.process_images(
+                    grid, ["warmup", "", ""], seed=1, steps=steps,
+                    upsampling_steps=upsampling_steps, upsampling_noise=upsampling_noise,
+                    is_upsampling=True, adapter=adapter,
+                )
         for w, h in upsampling_sizes or []:
             self.upsampling(
                 Image.new("RGB", (w, h), (0, 0, 0)), (w, h), cfg=30.0,
@@ -246,14 +283,17 @@ class VisualClozeModel:
         upsampling_steps: int = 10,
         upsampling_noise: float = 0.4,
         is_upsampling: bool = True,
+        adapter: str | None = None,
     ) -> list[Image.Image]:
         """Generate the masked query cells (ref visualcloze.py:247-467).
 
         Composition of the three serving stages (prepare -> denoise ->
         finalize); pipeline.orchestrator runs the same stages on two chips
-        with cross-query overlap.
+        with cross-query overlap. `adapter` selects a registered runtime
+        LoRA (add_adapter) for both denoise stages.
         """
-        q = self.prepare_query(images, prompts, seed=seed, cfg=cfg, steps=steps)
+        q = self.prepare_query(images, prompts, seed=seed, cfg=cfg, steps=steps,
+                               adapter=adapter)
         samples = self.denoise_query(q)
         return self.finalize_query(
             q, samples,
@@ -272,11 +312,13 @@ class VisualClozeModel:
         cfg: float = 30.0,
         steps: int = 30,
         grid_size: tuple[int, int] | None = None,
+        adapter: str | None = None,
     ) -> dict[str, Any]:
         """Stage E1 (encoder chip): preprocess + VAE encode + T5/CLIP +
         packing. Returns everything the denoise stage needs plus the host
         metadata the finalize stage needs. Thread-safe when `grid_size` is
         passed explicitly (no dependence on set_grid_size state)."""
+        self._resolve_adapter(adapter)  # fail on unknown names before any work
         if seed == 0:
             seed = int(np.random.randint(0, 2 ** 31 - 1))
         key = jax.random.PRNGKey(seed)
@@ -349,12 +391,14 @@ class VisualClozeModel:
             "cfg": cfg,
             "key": key,
             "content_prompt": prompts[2] if len(prompts) > 2 else "",
+            "adapter": adapter,
         }
 
     def denoise_query(self, q: dict[str, Any]) -> jnp.ndarray:
         """Stage D (DiT chip): the compiled 30-step rectified-flow loop."""
+        lora = self._resolve_adapter(q.get("adapter"))
         return self._denoise_jit(
-            self.params,
+            self.params, lora, self.lora_scale if lora is not None else 1.0,
             q["x"], q["ts"], q["img_cond"], q["txt"], q["txt_ids"], q["txt_mask"],
             q["vec"], q["img_ids"], q["img_mask"], q["guidance"],
             method=self.solver,
@@ -400,6 +444,7 @@ class VisualClozeModel:
                         upsampling_noise=upsampling_noise,
                         key=uk,
                         content_prompt=q["content_prompt"],
+                        adapter=q.get("adapter"),
                     )
                 )
             else:
@@ -415,13 +460,14 @@ class VisualClozeModel:
         upsampling_noise: float,
         key: jax.Array,
         content_prompt: str,
+        adapter: str | None = None,
     ) -> Image.Image:
         """SDEdit stage-2 refinement (ref visualcloze.py:147-245)."""
         q = self.prepare_upsampling(
             image, target_size, cfg,
             upsampling_steps=upsampling_steps,
             upsampling_noise=upsampling_noise,
-            key=key, content_prompt=content_prompt,
+            key=key, content_prompt=content_prompt, adapter=adapter,
         )
         if isinstance(q, Image.Image):  # noise >= 1.0: plain resize
             return q
@@ -437,10 +483,12 @@ class VisualClozeModel:
         upsampling_noise: float,
         key: jax.Array,
         content_prompt: str,
+        adapter: str | None = None,
     ) -> dict[str, Any] | Image.Image:
         """SDEdit stage E1: resize cap, re-encode, noise mix, packing.
         Returns the resized image directly when upsampling_noise >= 1.0
         (ref visualcloze.py:181-182)."""
+        self._resolve_adapter(adapter)
         for c in CONTENT_INSTRUCTIONS:
             if content_prompt.startswith(c):
                 content_prompt = content_prompt.replace(c, "")
@@ -503,6 +551,7 @@ class VisualClozeModel:
             "guidance": jnp.full((1,), cfg, jnp.bfloat16),
             "true_len": true_len,
             "hw": (h, w),
+            "adapter": adapter,
         }
 
     def finalize_upsampling(self, q: dict[str, Any], samples: jnp.ndarray) -> Image.Image:
@@ -515,6 +564,8 @@ class VisualClozeModel:
 def _denoise(
     flux_cfg: FluxConfig,
     params: dict,
+    lora: dict | None,
+    lora_scale,
     x: jnp.ndarray,
     ts: jnp.ndarray,
     cond: jnp.ndarray,
@@ -538,6 +589,7 @@ def _denoise(
             img=img, img_ids=img_ids, txt=txt, txt_ids=txt_ids,
             timesteps=timesteps, y=vec, txt_mask=txt_mask, img_mask=img_mask,
             guidance=guidance, attn_impl=attn_impl, rope_layout=rope_layout,
+            lora=lora, lora_scale=lora_scale,
         )
 
     if method == "dopri5":
