@@ -156,3 +156,77 @@ def test_orchestrator_carries_adapter():
                          upsampling_steps=2, is_upsampling=True,
                          adapter="task").result(timeout=600)
     np.testing.assert_array_equal(np.asarray(want[0]), np.asarray(got[0]))
+
+
+def test_adapter_on_int8_quantized_base():
+    """The production combo: int8 weight-only base + runtime bf16 adapter.
+    layers.linear applies the LoRA delta on the original activations after
+    the quantized matmul; output must track the fp32-base + adapter model
+    within the usual int8 envelope, and the adapter must actually act."""
+    from visualcloze_tpu.models.quant import quantize_flux_int8
+
+    params = init_flux(jax.random.PRNGKey(0), CFG)
+    lora = _lora_for(params, seed=13)
+    qparams = quantize_flux_int8(params)
+    rng = np.random.default_rng(4)
+    inp = _inp(rng)
+
+    ref = np.asarray(
+        flux_apply(CFG, params, **inp, attn_impl="xla", lora=lora, lora_scale=1.0),
+        np.float32,
+    )
+    got = np.asarray(
+        flux_apply(CFG, qparams, **inp, attn_impl="xla", lora=lora, lora_scale=1.0),
+        np.float32,
+    )
+    base = np.asarray(flux_apply(CFG, qparams, **inp, attn_impl="xla"), np.float32)
+    denom = max(np.abs(ref).max(), 1e-6)
+    assert np.abs(got - ref).mean() / denom < 0.15
+    assert np.corrcoef(ref.ravel(), got.ravel())[0, 1] > 0.98
+    # the adapter contributes beyond quantization noise
+    assert np.abs(got - base).mean() > 2.0 * np.abs(got - ref).mean()
+
+
+@pytest.mark.slow
+def test_trained_lora_pth_serves_as_runtime_adapter(tmp_path):
+    """Full trainer -> serving interop loop: train a tiny LoRA with the real
+    CLI, export the reference-format consolidated .pth, load it back as a
+    runtime adapter, and serve a query with it. The trainer now trains in
+    the reference's interleaved channel order (unpermuted), so the exported
+    checkpoint drops into add_adapter exactly like a reference-trained one."""
+    import random as _random
+
+    from test_trainer import make_dataset_files
+
+    from visualcloze_tpu.training import checkpoint as ckpt
+    from visualcloze_tpu.training.train import main
+
+    _random.seed(0)
+    config = make_dataset_files(tmp_path)
+    main([
+        "--data_path", config, "--results_dir", str(tmp_path / "r"),
+        "--tiny", "--init_random", "--max_steps", "2", "--global_bsz", "2",
+        "--micro_bsz", "1", "--fsdp", "2", "--grid_resolution", "64",
+        "--lora_rank", "4", "--ckpt_every", "2", "--log_every", "1",
+        "--num_workers", "1", "--max_seq_bucket", "128", "--precision", "fp32",
+        "--lr", "0.5",
+    ])
+    pth = tmp_path / "r" / "checkpoints" / "0000002" / "consolidated.00-of-01.pth"
+    assert pth.exists()
+
+    m = random_components(jax.random.PRNGKey(0), tiny=True, resolution=64,
+                          attn_impl="xla")
+    m.add_adapter("trained", ckpt.load_torch_lora(str(pth), m.cfg))
+
+    img = Image.fromarray(
+        np.random.default_rng(3).integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    )
+    m.set_grid_size(1, 2)
+    grid = [[img, None]]
+    prompts = ["layout", "task", "content"]
+    with_a = m.process_images(grid, prompts, seed=8, steps=2,
+                              is_upsampling=False, adapter="trained")
+    without = m.process_images(grid, prompts, seed=8, steps=2,
+                               is_upsampling=False)
+    d = np.abs(np.asarray(with_a[0], np.float32) - np.asarray(without[0], np.float32))
+    assert d.mean() > 0.5, d.mean()  # lr 0.5 x 2 steps: visible delta

@@ -265,8 +265,13 @@ def random_components(
     resolution: int = 384,
     attn_impl: str = "auto",
     mesh=None,
+    rope_layout: str = "half",
 ) -> VisualClozeModel:
-    """Randomly initialized pipeline (tests, benchmarks, offline demos)."""
+    """Randomly initialized pipeline (tests, benchmarks, offline demos).
+
+    rope_layout: "half" (serving default: params permuted at construction)
+    or "interleaved" (reference channel order kept — the trainer uses this
+    so exported LoRA checkpoints live in the reference's weight space)."""
     flux_cfg = FluxConfig().tiny() if tiny else FluxConfig()
     ae_cfg = AutoEncoderConfig().tiny() if tiny else AutoEncoderConfig()
     t5_cfg = T5Config().tiny() if tiny else T5Config()
@@ -299,7 +304,8 @@ def random_components(
     if mesh is not None:
         params = shard_params(params, mesh)
     return VisualClozeModel(
-        flux_cfg, params, ae, t5, clip, resolution=resolution, attn_impl=attn_impl
+        flux_cfg, params, ae, t5, clip, resolution=resolution,
+        attn_impl=attn_impl, rope_layout=rope_layout,
     )
 
 

@@ -148,9 +148,12 @@ def main(argv=None) -> None:
     from ..pipeline.loader import random_components
 
     if args.init_random or args.tiny:
+        # interleaved: train in the reference's channel order (the real-
+        # weight path below is also unpermuted), so exported LoRA
+        # checkpoints drop into the serving pipeline / reference as-is
         bundle = random_components(
             jax.random.PRNGKey(args.global_seed), tiny=args.tiny,
-            resolution=args.grid_resolution,
+            resolution=args.grid_resolution, rope_layout="interleaved",
         )
         flux_cfg, params = bundle.cfg, bundle.params
         ae, t5, clip = bundle.ae, bundle.t5, bundle.clip
