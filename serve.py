@@ -73,6 +73,11 @@ def _parse_adapters(specs: list[str]) -> dict[str, str]:
         if "=" not in spec:
             raise SystemExit(f"--lora expects NAME=PATH, got {spec!r}")
         name, path = spec.split("=", 1)
+        if name in out:
+            raise SystemExit(
+                f"duplicate --lora adapter name {name!r} "
+                f"({out[name]!r} vs {path!r})"
+            )
         out[name] = path
     return out
 

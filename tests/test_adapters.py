@@ -44,6 +44,7 @@ def _inp(rng, l_img=8, l_txt=4):
     )
 
 
+@pytest.mark.slow
 def test_permute_rope_layout_lora_matches_interleaved():
     """half-layout base + half-permuted adapter == interleaved base + raw
     adapter (attention is invariant to the consistent q/k channel perm)."""
@@ -68,6 +69,7 @@ def test_permute_rope_layout_lora_matches_interleaved():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_runtime_adapter_matches_folded_and_differs_from_base():
     mA = random_components(jax.random.PRNGKey(0), tiny=True, resolution=64,
                            attn_impl="xla")
@@ -101,6 +103,7 @@ def test_runtime_adapter_matches_folded_and_differs_from_base():
     assert np.mean(np.abs(a - b)) > 2.0 * max(np.mean(np.abs(a - f)), 0.1)
 
 
+@pytest.mark.slow
 def test_adapter_through_upsampling_stage():
     m = random_components(jax.random.PRNGKey(0), tiny=True, resolution=64,
                           attn_impl="xla")
@@ -158,6 +161,7 @@ def test_orchestrator_carries_adapter():
     np.testing.assert_array_equal(np.asarray(want[0]), np.asarray(got[0]))
 
 
+@pytest.mark.slow
 def test_adapter_on_int8_quantized_base():
     """The production combo: int8 weight-only base + runtime bf16 adapter.
     layers.linear applies the LoRA delta on the original activations after
@@ -230,3 +234,96 @@ def test_trained_lora_pth_serves_as_runtime_adapter(tmp_path):
                                is_upsampling=False)
     d = np.abs(np.asarray(with_a[0], np.float32) - np.asarray(without[0], np.float32))
     assert d.mean() > 0.5, d.mean()  # lr 0.5 x 2 steps: visible delta
+
+
+def test_partial_coverage_adapter_each_section_independent():
+    """Converters omit sections absent from a checkpoint ('Entries are
+    optional', weights.permute_rope_layout_lora) — a double-only tree must
+    run, and a single-only tree must actually act (it used to be silently
+    ignored because both scans were gated on 'double_blocks')."""
+    params = init_flux(jax.random.PRNGKey(0), CFG)
+    lora = _lora_for(params, seed=21)
+    rng = np.random.default_rng(7)
+    inp = _inp(rng)
+    base = np.asarray(flux_apply(CFG, params, **inp, attn_impl="xla"), np.float32)
+
+    for only in ("double_blocks", "single_blocks"):
+        partial = {only: lora[only]}
+        got = np.asarray(
+            flux_apply(CFG, params, **inp, attn_impl="xla",
+                       lora=partial, lora_scale=1.0),
+            np.float32,
+        )
+        assert np.abs(got - base).max() > 1e-4, f"{only}-only adapter was a no-op"
+
+
+def test_init_lora_attaches_to_quantized_linears():
+    """--quantize int8 + --lora x=random: init_lora must recognize w_int8
+    nodes (quantization runs before adapter registration in the CLIs)."""
+    from visualcloze_tpu.models.quant import quantize_flux_int8
+
+    params = init_flux(jax.random.PRNGKey(0), CFG)
+    qparams = quantize_flux_int8(params)
+    lora_q = init_lora(jax.random.PRNGKey(5), qparams, rank=2)
+    lora_f = init_lora(jax.random.PRNGKey(5), params, rank=2)
+    assert jax.tree_util.tree_structure(lora_q) == jax.tree_util.tree_structure(lora_f)
+    assert all(
+        a.shape == b.shape
+        for a, b in zip(jax.tree_util.tree_leaves(lora_q),
+                        jax.tree_util.tree_leaves(lora_f))
+    )
+
+    rng = np.random.default_rng(9)
+    inp = _inp(rng)
+    adapter = randomize_lora_b(lora_q, jax.random.PRNGKey(55))
+    base = np.asarray(flux_apply(CFG, qparams, **inp, attn_impl="xla"), np.float32)
+    got = np.asarray(
+        flux_apply(CFG, qparams, **inp, attn_impl="xla", lora=adapter, lora_scale=1.0),
+        np.float32,
+    )
+    assert np.abs(got - base).max() > 1e-4
+
+
+def test_fold_into_quantized_raises():
+    from visualcloze_tpu.models.quant import quantize_flux_int8
+
+    params = init_flux(jax.random.PRNGKey(0), CFG)
+    qparams = quantize_flux_int8(params)
+    lora = _lora_for(params, seed=2)
+    with pytest.raises(ValueError, match="quantized"):
+        fold_lora(qparams, lora)
+
+
+def test_warmup_compiles_one_program_per_adapter_signature(monkeypatch):
+    """rank-64 and rank-256 adapters are DIFFERENT jit programs (different
+    leaf shapes); warmup must compile one representative per signature —
+    not just the first adapter — and cover the upsampling buckets too."""
+    m = random_components(jax.random.PRNGKey(0), tiny=True, resolution=32,
+                          attn_impl="xla")
+    m.add_adapter("a_r2", init_lora(jax.random.PRNGKey(1), m.params, rank=2))
+    m.add_adapter("b_r2", init_lora(jax.random.PRNGKey(2), m.params, rank=2))
+    m.add_adapter("c_r4", init_lora(jax.random.PRNGKey(3), m.params, rank=4))
+
+    grid_calls, ups_calls = [], []
+    monkeypatch.setattr(
+        m, "process_images",
+        lambda *a, **k: grid_calls.append(k.get("adapter")) or [],
+    )
+    monkeypatch.setattr(
+        m, "upsampling",
+        lambda *a, **k: ups_calls.append(k.get("adapter")),
+    )
+    m.warmup([(1, 2)], steps=1, upsampling_steps=1,
+             upsampling_sizes=[(64, 64)])
+    # one None pass + one per distinct signature (r2 dedup'd, r4 separate)
+    assert grid_calls.count(None) == 1
+    assert grid_calls.count("a_r2") == 1 and grid_calls.count("c_r4") == 1
+    assert "b_r2" not in grid_calls  # same signature as a_r2 — shared program
+    assert set(ups_calls) == set(grid_calls)
+
+
+def test_serve_cli_rejects_duplicate_adapter_names():
+    import serve
+
+    with pytest.raises(SystemExit, match="duplicate"):
+        serve._parse_adapters(["foo=a.pth", "foo=b.pth"])

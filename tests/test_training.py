@@ -104,6 +104,7 @@ def test_grad_accumulation_equivalence(setup):
     assert d_big > 0 and d_micro > 0
 
 
+@pytest.mark.slow
 def test_remat_policies_agree(setup):
     """full / dots / dots_split remat compute identical losses AND updates —
     the policy only changes what is saved vs recomputed (dots_split moves the

@@ -155,7 +155,8 @@ def flux_apply(
     )
     txt_len = txt.shape[1]
 
-    has_lora = "double_blocks" in l
+    # Partial-coverage adapters are legal (convert_lora_diffusers omits
+    # sections absent from the checkpoint) — gate each scan on its own key.
 
     # remat_policy "dots": keep matmul outputs, recompute elementwise —
     # ~25% less backward compute than full recompute for more activation
@@ -204,8 +205,8 @@ def flux_apply(
         dbody = jax.checkpoint(dbody, policy=policy)
         sbody = jax.checkpoint(sbody, policy=policy)
 
-    d_lora = l["double_blocks"] if has_lora else None
-    s_lora = l["single_blocks"] if has_lora else None
+    d_lora = l.get("double_blocks")
+    s_lora = l.get("single_blocks")
     acts: dict[str, jnp.ndarray] = {}
     if capture_activations:
         acts["embed_img"], acts["embed_txt"], acts["vec"] = img, txt, vec

@@ -24,7 +24,13 @@ Params = dict[str, Any]
 
 
 def _is_linear(node: Any) -> bool:
-    return isinstance(node, dict) and "w" in node
+    # int8/w8a8-quantized linears carry "w_int8" instead of "w" (models/
+    # quant.py) but are equally valid runtime-adapter attachment points.
+    return isinstance(node, dict) and ("w" in node or "w_int8" in node)
+
+
+def _linear_shape(node: dict) -> tuple:
+    return (node["w"] if "w" in node else node["w_int8"]).shape
 
 
 def init_lora(
@@ -51,8 +57,7 @@ def init_lora(
     keys = jax.random.split(key, len(flat))
     out: Params = {}
     for (path, lin), k in zip(flat, keys):
-        w = lin["w"]
-        *lead, d_in, d_out = w.shape
+        *lead, d_in, d_out = _linear_shape(lin)
         r = min(rank, d_in, d_out)
         bound = d_in ** -0.5  # torch nn.Linear default init for lora_A
         a = jax.random.uniform(k, (*lead, d_in, r), jnp.float32, -bound, bound)
@@ -122,8 +127,7 @@ def init_moe_lora(
     keys = jax.random.split(key, len(flat))
     out: Params = {}
     for (path, lin), k in zip(flat, keys):
-        w = lin["w"]
-        *lead, d_in, d_out = w.shape
+        *lead, d_in, d_out = _linear_shape(lin)
         r = min(rank, d_in, d_out)
         k_sh, k_ex, k_gate = jax.random.split(k, 3)
         bound = d_in ** -0.5  # torch nn.Linear default init for the A factors
@@ -179,6 +183,11 @@ def fold_lora(params: Params, lora: Params, scale: float = 1.0) -> Params:
                 raise ValueError(
                     "MoE-LoRA entries are input-gated and cannot be folded into "
                     "dense weights; serve with flux_apply(..., lora=moe_tree) instead"
+                )
+            if "w" not in p_node:
+                raise ValueError(
+                    "cannot fold LoRA into int8-quantized weights; keep the "
+                    "adapter runtime (add_adapter) or fold before quantization"
                 )
             w = p_node["w"]
             delta = jnp.einsum(

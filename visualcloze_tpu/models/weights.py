@@ -196,6 +196,21 @@ def _half_perm(head_dim: int) -> np.ndarray:
     return np.concatenate([np.arange(0, head_dim, 2), np.arange(1, head_dim, 2)])
 
 
+def _qkv_out_perm(cfg: FluxConfig) -> np.ndarray:
+    """Permutation over the fused qkv output dim (k-major: kk*(H*D)+h*D+dd),
+    re-ordering q (kk=0) and k (kk=1) head channels into the "half" RoPE
+    layout; v (kk=2) untouched. Shared by permute_rope_layout and its LoRA
+    counterpart so base weights and runtime adapters can never disagree."""
+    h, nh, d = cfg.hidden_size, cfg.num_heads, cfg.head_dim
+    perm_d = _half_perm(d)
+    qkv_perm = np.arange(3 * h)
+    for kk in range(2):
+        for head in range(nh):
+            base = kk * h + head * d
+            qkv_perm[base : base + d] = base + perm_d
+    return qkv_perm
+
+
 def permute_rope_layout(params: Params, cfg: FluxConfig) -> Params:
     """Re-order q/k channels of every attention projection into the "half"
     RoPE layout (ops/rope.apply_rope_half). Valid because attention output is
@@ -204,15 +219,8 @@ def permute_rope_layout(params: Params, cfg: FluxConfig) -> Params:
     flux_apply(rope_layout="half") with the result."""
     import jax.numpy as jnp
 
-    h, nh, d = cfg.hidden_size, cfg.num_heads, cfg.head_dim
-    perm_d = _half_perm(d)
-    # permutation over the fused qkv output dim (k-major: kk*(H*D)+h*D+dd),
-    # applied to q (kk=0) and k (kk=1) blocks only
-    qkv_perm = np.arange(3 * h)
-    for kk in range(2):
-        for head in range(nh):
-            base = kk * h + head * d
-            qkv_perm[base : base + d] = base + perm_d
+    perm_d = _half_perm(cfg.head_dim)
+    qkv_perm = _qkv_out_perm(cfg)
 
     def permute_lin(p, out_perm):
         new = dict(p)
@@ -258,13 +266,7 @@ def permute_rope_layout_lora(lora: Params, cfg: FluxConfig) -> Params:
     Entries are optional (LoRA checkpoints may cover a subset of linears)."""
     import jax.numpy as jnp
 
-    h, nh, d = cfg.hidden_size, cfg.num_heads, cfg.head_dim
-    perm_d = _half_perm(d)
-    qkv_perm = np.arange(3 * h)
-    for kk in range(2):
-        for head in range(nh):
-            base = kk * h + head * d
-            qkv_perm[base : base + d] = base + perm_d
+    qkv_perm = _qkv_out_perm(cfg)
 
     def permute_entry(e):
         new = dict(e)

@@ -314,9 +314,9 @@ def flux_apply_pp(
         )
         dbody = jax.checkpoint(dbody, policy=policy)
 
-    has_lora = "double_blocks" in l
-    d_lora = l["double_blocks"] if has_lora else None
-    s_lora = l["single_blocks"] if has_lora else None
+    # Each section gated on its own key: partial-coverage adapters are legal.
+    d_lora = l.get("double_blocks")
+    s_lora = l.get("single_blocks")
     (img_e, txt_e), _ = jax.lax.scan(
         dbody, (img_e, txt_e), (params["double_blocks"], d_lora)
     )

@@ -171,6 +171,13 @@ class PipelinedServer:
         self.dit_device = dit_device
         if dit_device is not None:
             model.params = jax.device_put(model.params, dit_device)
+            # Runtime adapters feed the same denoise program — leaving them
+            # as host numpy (the converters' output) would re-transfer the
+            # whole adapter tree to the DiT chip on every call.
+            model.adapters = {
+                name: jax.device_put(tree, dit_device)
+                for name, tree in getattr(model, "adapters", {}).items()
+            }
         if encoder_device is not None:
             from ..models.autoencoder import AutoEncoder
 

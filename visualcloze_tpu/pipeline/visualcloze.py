@@ -122,7 +122,9 @@ class VisualClozeModel:
             from ..models.weights import permute_rope_layout_lora
 
             lora = permute_rope_layout_lora(lora, self.cfg)
-        self.adapters[name] = lora
+        # commit converter-produced host numpy leaves to device arrays once,
+        # instead of re-transferring the tree on every denoise call
+        self.adapters[name] = jax.tree_util.tree_map(jnp.asarray, lora)
 
     def _resolve_adapter(self, name: str | None) -> dict | None:
         if name is None:
@@ -152,11 +154,24 @@ class VisualClozeModel:
         stage for — the in-grid pass only covers targets at `resolution`
         (the stage-2 sequence length follows the QUERY image's native size,
         so e.g. 1024x768 requests hit a different bucket)."""
-        # all same-rank adapters share one compiled program (the lora tree is
-        # a jit ARGUMENT), so warming the first adapter covers the rest
+        # adapters with the SAME jit signature (pytree structure + leaf
+        # shapes/dtypes — i.e. same rank and checkpoint coverage) share one
+        # compiled program, so warm one representative per distinct
+        # signature; a rank-64 and a rank-256 adapter are different programs.
         adapter_passes: list[str | None] = [None]
         if warm_adapters and self.adapters:
-            adapter_passes.append(next(iter(self.adapters)))
+            seen: set = set()
+            for name, tree in self.adapters.items():
+                sig = (
+                    jax.tree_util.tree_structure(tree),
+                    tuple(
+                        (x.shape, jnp.asarray(x).dtype)
+                        for x in jax.tree_util.tree_leaves(tree)
+                    ),
+                )
+                if sig not in seen:
+                    seen.add(sig)
+                    adapter_passes.append(name)
         for gh, gw in grid_shapes:
             self.set_grid_size(gh, gw)
             blank = Image.new("RGB", (self.resolution, self.resolution), (0, 0, 0))
@@ -169,12 +184,14 @@ class VisualClozeModel:
                     is_upsampling=True, adapter=adapter,
                 )
         for w, h in upsampling_sizes or []:
-            self.upsampling(
-                Image.new("RGB", (w, h), (0, 0, 0)), (w, h), cfg=30.0,
-                upsampling_steps=upsampling_steps,
-                upsampling_noise=upsampling_noise,
-                key=jax.random.PRNGKey(0), content_prompt="warmup",
-            )
+            for adapter in adapter_passes:
+                self.upsampling(
+                    Image.new("RGB", (w, h), (0, 0, 0)), (w, h), cfg=30.0,
+                    upsampling_steps=upsampling_steps,
+                    upsampling_noise=upsampling_noise,
+                    key=jax.random.PRNGKey(0), content_prompt="warmup",
+                    adapter=adapter,
+                )
 
     def calibrate_w8a8_smooth(
         self,
