@@ -464,3 +464,56 @@ def test_flash_attention_nondividing_length_big_blocks_interpret():
     np.testing.assert_allclose(
         np.asarray(got) * valid, np.asarray(want) * valid, rtol=2e-5, atol=2e-5
     )
+
+
+def test_bucket_length_honors_small_buckets():
+    # a bucket=128 caller gets 128-grain buckets (no hidden 256 floor)
+    assert bucket_length(120, 128) == 128
+    assert bucket_length(196, 128) == 256
+    assert bucket_length(1, 128, minimum=256) == 256
+
+
+def test_int8_matmul_rejects_non_lane_multiple_n():
+    import pytest as _pytest
+
+    from visualcloze_tpu.ops.int8_matmul import int8_matmul
+
+    x = jnp.zeros((8, 128), jnp.bfloat16)
+    w = jnp.zeros((128, 1000), jnp.int8)
+    s = jnp.ones((1000,), jnp.float32)
+    with _pytest.raises(ValueError, match="multiples of 128"):
+        int8_matmul(x, w, s)
+
+
+def test_caption_dropout_with_cached_embeddings():
+    """Cached-embedding training: dropout must not silently keep the cached
+    conditional embedding (reference behavior, models/sampling.py:79-101).
+    With null_emb, dropped rows get the null embedding; without it, raise."""
+    from visualcloze_tpu.models.sampling import prepare_modified
+
+    rows = [[jnp.zeros((4, 4, 2))], [jnp.zeros((4, 4, 2))]]
+    text_emb = [
+        {"txt": np.full((4, 8), 2.0, np.float32), "vec": np.full((6,), 3.0, np.float32)}
+        for _ in range(2)
+    ]
+    null_emb = {"txt": np.zeros((4, 8), np.float32), "vec": np.zeros((6,), np.float32)}
+
+    with pytest.raises(ValueError, match="null_emb"):
+        prepare_modified(None, None, rows, ["a", "b"],
+                         proportion_empty_prompts=0.5, text_emb=text_emb)
+
+    out = prepare_modified(
+        None, None, rows, ["a", "b"], proportion_empty_prompts=1.0,
+        text_emb=text_emb, null_emb=null_emb,
+        rng=np.random.default_rng(0),
+    )
+    assert np.asarray(out["drop_mask"]).tolist() == [0, 0]
+    np.testing.assert_array_equal(np.asarray(out["txt"]), 0.0)
+    np.testing.assert_array_equal(np.asarray(out["vec"]), 0.0)
+
+    out2 = prepare_modified(
+        None, None, rows, ["a", "b"], proportion_empty_prompts=0.0,
+        text_emb=text_emb, null_emb=null_emb,
+    )
+    np.testing.assert_array_equal(np.asarray(out2["txt"]), 2.0)
+    np.testing.assert_array_equal(np.asarray(out2["vec"]), 3.0)

@@ -46,6 +46,7 @@ def prepare_modified(
     rng: np.random.Generator | None = None,
     pad_to: int | None = None,
     bucket: int | None = None,
+    null_emb: dict | None = None,
 ) -> dict[str, jnp.ndarray]:
     """Pack per-row latents into one padded token sequence + text features.
 
@@ -58,6 +59,14 @@ def prepare_modified(
         prompts pick random (train) / first (eval),
       - T5 -> txt, zero txt_ids, ones txt_mask; CLIP pooled -> vec;
         precomputed text_emb bypasses the encoders.
+
+    Caption dropout with cached embeddings: the reference blanks the prompt
+    string but then reads txt/vec straight from text_emb, so dropout is a
+    silent no-op on that path (ref models/sampling.py:79-101; its drop_mask
+    output has no real consumer). Here, pass null_emb={"txt": T5(""),
+    "vec": CLIP("")} to substitute the cached null embedding for dropped
+    rows; dropout > 0 with cached embeddings and no null_emb raises rather
+    than silently training without unconditional examples.
     """
     assert isinstance(img, (list, tuple)) and all(isinstance(r, (list, tuple)) for r in img)
     bs = len(img)
@@ -116,14 +125,33 @@ def prepare_modified(
             )
         drop_mask.append(0 if prompt[idx] == "" else 1)
 
+    if (t5 is None or clip is None) and proportion_empty_prompts > 0 and null_emb is None:
+        raise ValueError(
+            "caption dropout with cached text embeddings needs null_emb "
+            '({"txt": T5(\'\'), "vec": CLIP(\'\')}) — without it dropped '
+            "prompts would silently keep their cached conditional embedding"
+        )
+
+    def _sub_null(stacked, key_):
+        if null_emb is None or all(drop_mask):
+            return stacked
+        null_row = jnp.asarray(null_emb[key_])
+        keep = jnp.asarray(np.asarray(drop_mask, np.bool_))
+        keep = keep.reshape((bs,) + (1,) * (stacked.ndim - 1))
+        return jnp.where(keep, stacked, null_row[None])
+
     if t5 is None:
-        txt = jnp.stack([jnp.asarray(item["txt"]) for item in text_emb], axis=0)
+        txt = _sub_null(
+            jnp.stack([jnp.asarray(item["txt"]) for item in text_emb], axis=0), "txt"
+        )
     else:
         txt = t5(prompt)
     if txt.shape[0] == 1 and bs > 1:
         txt = jnp.broadcast_to(txt, (bs,) + txt.shape[1:])
     if clip is None:
-        vec = jnp.stack([jnp.asarray(item["vec"]) for item in text_emb], axis=0)
+        vec = _sub_null(
+            jnp.stack([jnp.asarray(item["vec"]) for item in text_emb], axis=0), "vec"
+        )
     else:
         vec = clip(prompt)
     if vec.shape[0] == 1 and bs > 1:

@@ -54,7 +54,7 @@ def _on_tpu() -> bool:
         return False
 
 
-def mask_to_bias(mask: jnp.ndarray | None, length: int | None = None) -> jnp.ndarray | None:
+def mask_to_bias(mask: jnp.ndarray | None) -> jnp.ndarray | None:
     """(B, L) {0,1} key mask -> (B, L) additive fp32 bias (0 / -inf)."""
     if mask is None:
         return None

@@ -66,6 +66,10 @@ def int8_matmul(
     *lead, k = x.shape
     kn, n = w_int8.shape
     assert kn == k, (x.shape, w_int8.shape)
+    if k % 128 or n % 128:
+        # a non-dividing block would floor-truncate the grid and leave the
+        # tail output columns as uninitialized memory — fail loudly instead
+        raise ValueError(f"K and N must be multiples of 128, got K={k} N={n}")
     m = 1
     for d in lead:
         m *= d

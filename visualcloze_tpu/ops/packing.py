@@ -126,7 +126,12 @@ def pack_sequences(
     return img, img_ids, img_mask
 
 
-def bucket_length(n: int, bucket: int = 256, minimum: int = 256) -> int:
+def bucket_length(n: int, bucket: int = 256, minimum: int | None = None) -> int:
     """Round a sequence length up to a bucket boundary (static-shape discipline
-    replacing the reference's varlen unpadding; SURVEY.md §2.9 item 10)."""
+    replacing the reference's varlen unpadding; SURVEY.md §2.9 item 10).
+
+    minimum defaults to the bucket size, so a bucket=128 caller really gets
+    128-grain buckets (a fixed 256 floor used to override smaller buckets
+    and silently double the padding waste for short sequences)."""
+    minimum = bucket if minimum is None else minimum
     return max(minimum, ((n + bucket - 1) // bucket) * bucket)

@@ -49,7 +49,6 @@ def time_shift(mu: float, sigma: float, t):
     Works on numpy arrays / floats (host-side schedule construction) and on
     jnp arrays (training-time t shift).
     """
-    xp = jnp if isinstance(t, jnp.ndarray) else np
     return math.exp(mu) / (math.exp(mu) + (1.0 / t - 1.0) ** sigma)
 
 
