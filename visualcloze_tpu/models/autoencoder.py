@@ -71,13 +71,10 @@ def swish(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _use_fused(x: jnp.ndarray, w: jnp.ndarray) -> bool:
+    from ..ops.attention import _on_tpu
     from ..ops.conv2d import fusable
 
-    try:
-        on_tpu = jax.devices()[0].platform == "tpu"
-    except Exception:  # pragma: no cover - no backend at trace time
-        on_tpu = False
-    return on_tpu and fusable(x, w)
+    return _on_tpu() and fusable(x, w)
 
 
 def _gn_swish_conv(
@@ -148,7 +145,9 @@ def attn_block(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     q = conv2d(p["q"], hn).reshape(b, h * w, c)
     k = conv2d(p["k"], hn).reshape(b, h * w, c)
     v = conv2d(p["v"], hn).reshape(b, h * w, c)
-    use_flash = h * w >= 2048 and jax.devices()[0].platform == "tpu"
+    from ..ops.attention import _on_tpu
+
+    use_flash = h * w >= 2048 and _on_tpu()
     if use_flash:
         o = _flash_fwd_only(q[:, None], k[:, None], v[:, None])[:, 0]
     else:

@@ -117,7 +117,10 @@ def linear(p: Params, x: jnp.ndarray, lora: Params | None = None, lora_scale=1.0
         # (barrier-after-convert forced a materialized bf16 copy instead).
         w_bf16 = jax.lax.optimization_barrier(p["w_int8"]).astype(jnp.bfloat16)
         y = jnp.einsum("...i,io->...o", x, w_bf16)
-        y = y * p["w_scale"].astype(y.dtype)
+        # rescale in fp32 like dequantize_linear (the parity oracle) — a
+        # bf16-rounded scale adds up to 2^-9 systematic per-channel bias on
+        # top of the int8 noise; XLA fuses multiply-then-cast either way
+        y = (y.astype(jnp.float32) * p["w_scale"]).astype(jnp.bfloat16)
     elif "w_int4" in p:
         # int4 entries (models/quant.quantize_weight_int4): group-scaled
         # nibble codes, unpacked in-loop behind the same anti-hoist barrier.
@@ -361,11 +364,8 @@ def last_layer(
     mod = linear(p["adaLN"], jax.nn.silu(vec), l.get("adaLN"), lora_scale).astype(jnp.float32)
     shift, scale = jnp.split(mod, 2, axis=-1)
     x = (1.0 + scale[:, None]) * layer_norm(x) + shift[:, None]
-    if "w" in p["linear"]:
-        out_dtype = p["linear"]["w"].dtype
-    else:  # quantized entries (w_int8 / w_int4) compute in bf16
-        out_dtype = jnp.bfloat16
-    return linear(p["linear"], x.astype(out_dtype), l.get("linear"), lora_scale)
+    # linear() casts its input per weight layout (plain/int8/int4/w8a8)
+    return linear(p["linear"], x, l.get("linear"), lora_scale)
 
 
 # ----------------------------- initializers -----------------------------

@@ -87,7 +87,7 @@ def init_flux_int8(key: jax.Array, cfg, seed_scale: float = 0.02) -> Params:
         return p
 
     h, mh, d = cfg.hidden_size, cfg.mlp_hidden_dim, cfg.head_dim
-    ks = jax.random.split(key, 16)
+    ks = jax.random.split(key, 23)
     D, S = cfg.depth, cfg.depth_single_blocks
 
     def qnorm(lead):
@@ -118,20 +118,20 @@ def init_flux_int8(key: jax.Array, cfg, seed_scale: float = 0.02) -> Params:
             "txt_mlp": {"0": rand_qlin(ks[14], h, mh, lead=(D,)), "2": rand_qlin(ks[15], mh, h, lead=(D,))},
         },
         "single_blocks": {
-            "linear1": rand_qlin(ks[0], h, 3 * h + mh, lead=(S,)),
-            "linear2": rand_qlin(ks[1], h + mh, h, lead=(S,)),
+            "linear1": rand_qlin(ks[16], h, 3 * h + mh, lead=(S,)),
+            "linear2": rand_qlin(ks[17], h + mh, h, lead=(S,)),
             "norm": qnorm((S,)),
-            "modulation": {"lin": rand_qlin(ks[2], h, 3 * h, lead=(S,))},
+            "modulation": {"lin": rand_qlin(ks[18], h, 3 * h, lead=(S,))},
         },
         "final_layer": {
-            "linear": rand_qlin(ks[3], h, cfg.out_channels),
-            "adaLN": rand_qlin(ks[4], h, 2 * h),
+            "linear": rand_qlin(ks[19], h, cfg.out_channels),
+            "adaLN": rand_qlin(ks[20], h, 2 * h),
         },
     }
     if cfg.guidance_embed:
         params["guidance_in"] = {
-            "in_layer": rand_qlin(ks[5], 256, h),
-            "out_layer": rand_qlin(ks[6], h, h),
+            "in_layer": rand_qlin(ks[21], 256, h),
+            "out_layer": rand_qlin(ks[22], h, h),
         }
     return params
 

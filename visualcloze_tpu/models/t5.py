@@ -131,7 +131,7 @@ def init_t5(key: jax.Array, cfg: T5Config, dtype=jnp.float32) -> Params:
     d, kd, f = cfg.d_model, cfg.num_heads * cfg.d_kv, cfg.d_ff
 
     def init_block(k):
-        bk = jax.random.split(k, 6)
+        bk = jax.random.split(k, 7)
         s = d ** -0.5
         return {
             "attn": {
@@ -145,7 +145,7 @@ def init_t5(key: jax.Array, cfg: T5Config, dtype=jnp.float32) -> Params:
                 "ln": jnp.ones((d,), dtype),
                 "wi_0": (jax.random.normal(bk[4], (d, f)) * s).astype(dtype),
                 "wi_1": (jax.random.normal(bk[5], (d, f)) * s).astype(dtype),
-                "wo": (jax.random.normal(bk[4], (f, d)) * (f ** -0.5)).astype(dtype),
+                "wo": (jax.random.normal(bk[6], (f, d)) * (f ** -0.5)).astype(dtype),
             },
         }
 

@@ -53,8 +53,17 @@ def _sdpa(q, k, v, num_heads):
     return out.transpose(0, 2, 1, 3).reshape(b, L, D)
 
 
-def patch_embed(p: Params, x: jnp.ndarray, patch: int) -> jnp.ndarray:
-    """(B, H, W, 3) -> (B, h*w, C) via non-overlapping patch conv."""
+def _stack_blocks(blocks: list[Params]) -> Params:
+    """List of per-layer pytrees -> one pytree of (L, ...) stacked leaves,
+    ready for `lax.scan` (one compiled block body instead of num_layers
+    unrolled copies — compile time and code size drop with depth)."""
+    return jax.tree.map(lambda *xs: np.stack(xs), *blocks)
+
+
+def patch_embed(
+    p: Params, x: jnp.ndarray, patch: int
+) -> tuple[jnp.ndarray, tuple[int, int]]:
+    """(B, H, W, 3) -> ((B, h*w, C), (h, w)) via non-overlapping patch conv."""
     out = jax.lax.conv_general_dilated(
         x, p["w"], window_strides=(patch, patch), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -109,13 +118,16 @@ def siglip_encode(cfg: SigLIPVisionConfig, params: Params, pixels: jnp.ndarray) 
     """(B, H, W, 3) normalized pixels -> last_hidden_state (B, L, D)."""
     x, _ = patch_embed(params["patch_embed"], pixels, cfg.patch_size)
     x = x + params["pos_embed"][: x.shape[1]]
-    for blk in params["blocks"]:
+
+    def body(x, blk):
         h = _ln(blk["ln1"], x, cfg.layer_norm_eps)
         attn = _sdpa(_lin(blk["q"], h), _lin(blk["k"], h), _lin(blk["v"], h), cfg.num_heads)
         x = x + _lin(blk["o"], attn)
         h = _ln(blk["ln2"], x, cfg.layer_norm_eps)
         h = _lin(blk["fc2"], jax.nn.gelu(_lin(blk["fc1"], h), approximate=True))
-        x = x + h
+        return x + h, None
+
+    x, _ = jax.lax.scan(body, x, params["blocks"])
     return _ln(params["post_ln"], x, cfg.layer_norm_eps)
 
 
@@ -147,6 +159,7 @@ def convert_siglip_vision(state: dict[str, np.ndarray], cfg: SigLIPVisionConfig)
                 "fc2": lin(f"{p}.mlp.fc2"),
             }
         )
+    blocks = _stack_blocks(blocks)
     return {
         "patch_embed": {
             "w": w("embeddings.patch_embedding.weight").transpose(2, 3, 1, 0),
@@ -215,19 +228,31 @@ def _dinov2_backbone(cfg: DepthAnythingTowerConfig, p: Params, pixels: jnp.ndarr
         pos = jnp.concatenate([pos[:, :1], grid.reshape(1, n_patches, cfg.hidden_size)], axis=1)
     x = x + pos
 
-    feats = []
-    for i, blk in enumerate(p["blocks"]):
+    # Scan over stacked blocks; the carry holds an (n_out, B, 1+L, D) buffer
+    # that layer i+1 adds itself into when it is one of out_indices — keeps
+    # only the needed stages resident instead of all num_layers scan outputs.
+    out_idx = jnp.asarray(cfg.out_indices)  # 1-based, static per config
+
+    def body(carry, inp):
+        x, feats = carry
+        blk, i = inp
         h = _ln(blk["ln1"], x, cfg.layer_norm_eps)
         attn = _sdpa(_lin(blk["q"], h), _lin(blk["k"], h), _lin(blk["v"], h), cfg.num_heads)
         x = x + _lin(blk["o"], attn) * blk["ls1"]
         h = _ln(blk["ln2"], x, cfg.layer_norm_eps)
         h = _lin(blk["fc2"], jax.nn.gelu(_lin(blk["fc1"], h), approximate=False))
         x = x + h * blk["ls2"]
-        if (i + 1) in cfg.out_indices:
-            feats.append(x)
+        hit = (out_idx == i + 1).astype(x.dtype)
+        feats = feats + hit[:, None, None, None] * x[None]
+        return (x, feats), None
+
+    feats0 = jnp.zeros((len(cfg.out_indices),) + x.shape, x.dtype)
+    (_, feats), _ = jax.lax.scan(
+        body, (x, feats0), (p["blocks"], jnp.arange(cfg.num_layers))
+    )
     # Dinov2Backbone applies its final layernorm to every out feature
-    feats = [_ln(p["final_ln"], f, cfg.layer_norm_eps) for f in feats]
-    return feats, (ph, pw)
+    feats = _ln(p["final_ln"], feats, cfg.layer_norm_eps)
+    return [feats[i] for i in range(feats.shape[0])], (ph, pw)
 
 
 def _conv(p: Params, x: jnp.ndarray, stride: int = 1, padding="SAME") -> jnp.ndarray:
@@ -349,6 +374,7 @@ def convert_depth_anything(state: dict[str, np.ndarray], cfg: DepthAnythingTower
                 "ls2": w(f"{p}.layer_scale2.lambda1"),
             }
         )
+    blocks = _stack_blocks(blocks)
     backbone = {
         "patch_embed": {
             "w": w("backbone.embeddings.patch_embeddings.projection.weight").transpose(2, 3, 1, 0),
@@ -429,12 +455,15 @@ def vit_classify(cfg: ViTClassifierConfig, params: Params, pixels: jnp.ndarray) 
     b = x.shape[0]
     cls = jnp.broadcast_to(params["cls_token"], (b, 1, cfg.hidden_size))
     x = jnp.concatenate([cls, x], axis=1) + params["pos_embed"]
-    for blk in params["blocks"]:
+
+    def body(x, blk):
         h = _ln(blk["ln1"], x, cfg.layer_norm_eps)
         attn = _sdpa(_lin(blk["q"], h), _lin(blk["k"], h), _lin(blk["v"], h), cfg.num_heads)
         x = x + _lin(blk["o"], attn)
         h = _ln(blk["ln2"], x, cfg.layer_norm_eps)
-        x = x + _lin(blk["fc2"], jax.nn.gelu(_lin(blk["fc1"], h), approximate=False))
+        return x + _lin(blk["fc2"], jax.nn.gelu(_lin(blk["fc1"], h), approximate=False)), None
+
+    x, _ = jax.lax.scan(body, x, params["blocks"])
     x = _ln(params["final_ln"], x, cfg.layer_norm_eps)
     return _lin(params["classifier"], x[:, 0])
 
@@ -466,6 +495,7 @@ def convert_vit_classifier(state: dict[str, np.ndarray], cfg: ViTClassifierConfi
                 "fc2": lin(f"{p}.output.dense"),
             }
         )
+    blocks = _stack_blocks(blocks)
     return {
         "patch_embed": {
             "w": w("vit.embeddings.patch_embeddings.projection.weight").transpose(2, 3, 1, 0),
