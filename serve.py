@@ -56,6 +56,9 @@ def parse_args(argv=None):
                    help="pipeline depth (concurrent queries on device)")
     p.add_argument("--max_queue", type=int, default=8,
                    help="admitted requests beyond which POSTs get 429")
+    p.add_argument("--result_timeout", type=float, default=900.0,
+                   help="seconds one request may wait (queue + compile + "
+                        "denoise) before a 504; 0 disables")
     p.add_argument("--no_disaggregate", action="store_true",
                    help="keep encoders and DiT on the default device even "
                         "with 2+ chips")
@@ -170,6 +173,7 @@ def main(argv=None):
         server, host=args.host, port=args.port,
         max_inflight=args.max_inflight * args.replicas,
         max_queue=args.max_queue, block=True,
+        result_timeout_s=args.result_timeout or None,
     )
 
 

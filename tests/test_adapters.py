@@ -327,3 +327,51 @@ def test_serve_cli_rejects_duplicate_adapter_names():
 
     with pytest.raises(SystemExit, match="duplicate"):
         serve._parse_adapters(["foo=a.pth", "foo=b.pth"])
+
+
+@pytest.mark.slow
+def test_permute_rope_layout_moe_lora_matches_interleaved():
+    """MoE-LoRA counterpart of the plain-LoRA layout test: half base +
+    half-permuted MoE adapter == interleaved base + raw MoE adapter. Also
+    pins randomize_lora_b actually perturbing MoE trees (shared_b/expert_b
+    were skipped once, making the adapter a silent no-op)."""
+    from visualcloze_tpu.models.lora import init_moe_lora
+
+    params = init_flux(jax.random.PRNGKey(0), CFG)
+    moe = randomize_lora_b(
+        init_moe_lora(jax.random.PRNGKey(5), params, rank=2, num_experts=2),
+        jax.random.PRNGKey(55),
+    )
+    rng = np.random.default_rng(2)
+    inp = _inp(rng)
+    base = np.asarray(
+        flux_apply(CFG, params, **inp, attn_impl="xla",
+                   rope_layout="interleaved"), np.float32)
+    want = np.asarray(
+        flux_apply(CFG, params, **inp, attn_impl="xla",
+                   rope_layout="interleaved", lora=moe, lora_scale=1.0),
+        np.float32)
+    assert np.abs(want - base).max() > 1e-6  # adapter must not be a no-op
+    got = np.asarray(
+        flux_apply(
+            CFG, permute_rope_layout(params, CFG), **inp, attn_impl="xla",
+            rope_layout="half", lora=permute_rope_layout_lora(moe, CFG),
+            lora_scale=1.0,
+        ),
+        np.float32)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_add_moe_adapter_on_half_layout_model():
+    """add_adapter must accept MoE-LoRA trees under the default half rope
+    layout (permute_rope_layout_lora once KeyError'd on the missing 'b')."""
+    from visualcloze_tpu.models.lora import init_moe_lora
+
+    m = random_components(jax.random.PRNGKey(0), tiny=True, resolution=64,
+                          attn_impl="xla")
+    moe = randomize_lora_b(
+        init_moe_lora(jax.random.PRNGKey(7), m.params, rank=2, num_experts=2),
+        jax.random.PRNGKey(70),
+    )
+    m.add_adapter("moe", moe)
+    assert "moe" in m.adapters

@@ -191,3 +191,52 @@ def test_initialize_distributed_multi_host_detection(monkeypatch):
 
 
 pytestmark = pytest.mark.slow  # 8-device mesh / full-stack CLI suite; fast lane skips
+
+
+def test_mesh_sharding_survives_rope_permutation():
+    """random_components(mesh=...) permutes qkv/linear1/norm into the half
+    RoPE layout at construction; the permuted leaves must still carry their
+    mesh sharding (the permutation's jnp.asarray rebuild used to silently
+    drop the sharding of exactly the largest DiT weights)."""
+    from visualcloze_tpu.pipeline import random_components
+
+    mesh = create_mesh(fsdp=2, tp=2)
+    model = random_components(
+        jax.random.PRNGKey(0), tiny=True, resolution=64, attn_impl="xla", mesh=mesh
+    )
+    for path in (
+        ("double_blocks", "img_attn", "qkv", "w"),
+        ("single_blocks", "linear1", "w"),
+        ("img_in", "w"),
+    ):
+        leaf = model.params
+        for k in path:
+            leaf = leaf[k]
+        assert isinstance(leaf.sharding, NamedSharding), path
+        assert leaf.sharding.mesh.axis_names == mesh.axis_names, path
+
+
+def test_permute_rope_layout_preserves_shardings_and_values():
+    """permute_rope_layout on a sharded tree returns leaves with the SAME
+    NamedSharding and the same values as permuting the host tree."""
+    from visualcloze_tpu.models.weights import permute_rope_layout
+
+    params = init_flux(jax.random.PRNGKey(1), CFG, dtype=jnp.float32)
+    want = permute_rope_layout(params, CFG)  # unsharded ground truth
+    mesh = create_mesh(fsdp=2, tp=2)
+    sharded = shard_params(params, mesh)
+    got = permute_rope_layout(sharded, CFG)
+
+    def leaf(tree, *path):
+        for k in path:
+            tree = tree[k]
+        return tree
+
+    for path in (
+        ("double_blocks", "img_attn", "qkv", "w"),
+        ("double_blocks", "img_attn", "norm", "q_scale"),
+        ("single_blocks", "linear1", "w"),
+    ):
+        s, g, w = leaf(sharded, *path), leaf(got, *path), leaf(want, *path)
+        assert g.sharding == s.sharding, path
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))

@@ -170,3 +170,25 @@ def test_w8a8_smooth_calibrate_and_serve():
     assert b.shape == a.shape and np.isfinite(b).all()
     # same seed, quantized weights: outputs stay close on the tiny model
     assert np.abs(a - b).mean() < 0.15
+
+
+@pytest.mark.slow
+def test_calibration_is_rope_layout_invariant():
+    """The calibration forward must run in the model's own rope layout: the
+    stats a half-layout pipeline (the serving default) collects must match
+    the interleaved-layout pipeline built from the same weights — a q/k
+    channel permutation is invisible to every linear's input distribution.
+    (The calibration forward once defaulted to interleaved RoPE on
+    half-permuted params, mis-calibrating every SmoothQuant scale.)"""
+    from visualcloze_tpu.pipeline import random_components
+
+    def stats_for(layout):
+        m = random_components(jax.random.PRNGKey(0), tiny=True, resolution=64,
+                              attn_impl="xla", rope_layout=layout)
+        return m.calibrate_w8a8_smooth(steps=3, stride=2)
+
+    a, b = stats_for("interleaved"), stats_for("half")
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=1e-3, atol=1e-5
+        )

@@ -107,3 +107,33 @@ def test_client_errors_do_not_failover_or_count():
     assert b.calls == 0  # never retried on the other replica
     assert all(h["healthy"] and h["consecutive_failures"] == 0
                for h in pool.health())
+
+
+class RaisingReplica(FakeReplica):
+    """submit() itself raises synchronously — the shape of a ThreadPoolExecutor
+    that has been shut down (drain/close) when the retry lands on it."""
+
+    def submit(self, *args, **kwargs) -> Future:
+        self.calls += 1
+        raise RuntimeError(f"{self.name}: cannot schedule new futures after shutdown")
+
+
+def test_synchronous_submit_raise_fails_over_and_releases_slot():
+    """A raise inside replicas[i].submit must behave like a failed query:
+    retry on the next replica, resolve the outer future, and release the
+    in-flight slot (an unhandled raise here used to leave the future
+    unresolved forever and leak _inflight)."""
+    dead, good = RaisingReplica("dead"), FakeReplica("good")
+    pool = ReplicaPool([dead, good])
+    assert pool.submit("q").result(timeout=5) == "good:q"
+    assert dead.calls == 1 and good.calls == 1
+    h = pool.health()
+    assert h[0]["in_flight"] == 0 and h[0]["consecutive_failures"] == 1
+
+
+def test_synchronous_submit_raise_on_all_replicas_resolves_future():
+    a, b = RaisingReplica("a"), RaisingReplica("b")
+    pool = ReplicaPool([a, b])
+    with pytest.raises(RuntimeError, match="shutdown"):
+        pool.submit("q").result(timeout=5)
+    assert all(h["in_flight"] == 0 for h in pool.health())

@@ -124,3 +124,52 @@ def test_malformed_image_payload_is_a_client_error(endpoint):
     assert status == 400 and "row lists" in out["error"]
     assert fe.metrics.failures_total == fails_before
     assert fe.metrics.client_errors_total >= 2
+
+
+def test_non_pair_grid_size_and_bad_scalars_are_client_errors(endpoint):
+    """A scalar grid_size (or a null scalar param) must map to 400, not a
+    TypeError-driven 500 that pollutes the failure metric."""
+    url, fe = endpoint
+    fails_before = fe.metrics.failures_total
+    status, out = _post(url, {
+        "images": [[_b64((1, 1, 1)), None]],
+        "prompts": ["a", "b", "c"],
+        "grid_size": 2,
+    })
+    assert status == 400 and "grid_size" in out["error"]
+    status, out = _post(url, {
+        "images": [[_b64((1, 1, 1)), None]],
+        "prompts": ["a", "b", "c"],
+        "seed": None,
+    })
+    assert status == 400 and "parameter" in out["error"]
+    assert fe.metrics.failures_total == fails_before
+
+
+def test_wedged_backend_times_out_with_504():
+    """A backend future that never resolves must not pin the admission slot
+    forever: the handler returns 504 after result_timeout_s and counts a
+    server failure."""
+    from concurrent.futures import Future
+
+    from visualcloze_tpu.pipeline.server import run_frontend
+
+    class WedgedServer:
+        def submit(self, *a, **k):
+            return Future()  # never resolves
+
+        def close(self):
+            pass
+
+    httpd, fe = run_frontend(
+        WedgedServer(), host="127.0.0.1", port=0, block=False,
+        result_timeout_s=0.3,
+    )
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}"
+        status, out = _post(url, {"images": [[None]], "prompts": ["a", "b", "c"]})
+        assert status == 504 and "timeout" in out["error"]
+        assert fe.metrics.failures_total == 1
+        assert fe.queue_depth == 0  # slot released
+    finally:
+        httpd.shutdown()

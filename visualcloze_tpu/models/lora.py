@@ -84,7 +84,10 @@ def randomize_lora_b(lora: Params, key: jax.Array, scale: float = 0.02) -> Param
     import jax.tree_util as jtu
 
     def f(path, x):
-        if getattr(path[-1], "key", None) != "b":
+        # MoE-LoRA trees keep their zero-init output factors under
+        # shared_b/expert_b — skipping them would leave the adapter delta
+        # mathematically zero (gated experts multiply into expert_b)
+        if getattr(path[-1], "key", None) not in ("b", "shared_b", "expert_b"):
             return x
         k = jax.random.fold_in(key, zlib.crc32(jtu.keystr(path).encode()))
         return scale * jax.random.normal(k, x.shape, x.dtype)

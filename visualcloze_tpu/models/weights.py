@@ -216,8 +216,20 @@ def permute_rope_layout(params: Params, cfg: FluxConfig) -> Params:
     RoPE layout (ops/rope.apply_rope_half). Valid because attention output is
     invariant to a consistent q/k channel permutation; v and all other
     weights are untouched. Apply once at load time; use
-    flux_apply(rope_layout="half") with the result."""
+    flux_apply(rope_layout="half") with the result.
+
+    Sharding-preserving: leaves that arrive as mesh-sharded jax.Arrays go
+    back to the SAME NamedSharding after the host-side permutation (a plain
+    jnp.asarray would silently rebuild them unsharded on the default device,
+    mixing single-device leaves into a sharded tree)."""
+    import jax
     import jax.numpy as jnp
+
+    def _like(src, arr):
+        shard = getattr(src, "sharding", None)
+        if getattr(shard, "mesh", None) is not None:  # NamedSharding only
+            return jax.device_put(jnp.asarray(arr), shard)
+        return jnp.asarray(arr)
 
     perm_d = _half_perm(cfg.head_dim)
     qkv_perm = _qkv_out_perm(cfg)
@@ -228,18 +240,17 @@ def permute_rope_layout(params: Params, cfg: FluxConfig) -> Params:
         w = np.asarray(p[w_key])
         full = np.arange(w.shape[-1])
         full[: len(out_perm)] = out_perm
-        new[w_key] = jnp.asarray(w[..., full])
+        new[w_key] = _like(p[w_key], w[..., full])
         if "w_scale" in p:
-            new["w_scale"] = jnp.asarray(np.asarray(p["w_scale"])[..., full])
+            new["w_scale"] = _like(p["w_scale"], np.asarray(p["w_scale"])[..., full])
         if "b" in p:
-            b = np.asarray(p["b"])
-            new["b"] = jnp.asarray(b[..., full])
+            new["b"] = _like(p["b"], np.asarray(p["b"])[..., full])
         return new
 
     def permute_norm(p):
         return {
-            "q_scale": jnp.asarray(np.asarray(p["q_scale"])[..., perm_d]),
-            "k_scale": jnp.asarray(np.asarray(p["k_scale"])[..., perm_d]),
+            "q_scale": _like(p["q_scale"], np.asarray(p["q_scale"])[..., perm_d]),
+            "k_scale": _like(p["k_scale"], np.asarray(p["k_scale"])[..., perm_d]),
         }
 
     out = dict(params)
@@ -263,19 +274,22 @@ def permute_rope_layout_lora(lora: Params, cfg: FluxConfig) -> Params:
     linear1 deltas in the same permuted channel order. Only the OUTPUT side
     moves — lora "b" columns and "b_bias" — because the permutation acts on
     the projection's output channels; "a" reads the unpermuted input stream.
-    Entries are optional (LoRA checkpoints may cover a subset of linears)."""
+    Entries are optional (LoRA checkpoints may cover a subset of linears).
+    MoE-LoRA entries (models/lora.init_moe_lora) permute their output-side
+    factors the same way — shared_b and the stacked expert_b; the gate reads
+    the unpermuted input stream and stays put."""
     import jax.numpy as jnp
 
     qkv_perm = _qkv_out_perm(cfg)
 
     def permute_entry(e):
         new = dict(e)
-        b = np.asarray(e["b"])
-        full = np.arange(b.shape[-1])
-        full[: len(qkv_perm)] = qkv_perm
-        new["b"] = jnp.asarray(b[..., full])
-        if "b_bias" in e:
-            new["b_bias"] = jnp.asarray(np.asarray(e["b_bias"])[..., full])
+        for key in ("b", "shared_b", "expert_b", "b_bias"):
+            if key in e:
+                v = np.asarray(e[key])
+                full = np.arange(v.shape[-1])
+                full[: len(qkv_perm)] = qkv_perm
+                new[key] = jnp.asarray(v[..., full])
         return new
 
     out = dict(lora)

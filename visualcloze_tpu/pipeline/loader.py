@@ -220,8 +220,9 @@ def build_visualcloze(
         pass  # calibration needs the constructed pipeline — handled below
     elif quantize is not None:
         raise ValueError(f"unknown quantize mode {quantize!r}")
-    if mesh is not None and quantize != "w8a8_smooth":
-        params = shard_params(params, mesh)
+    # NOTE: mesh sharding happens AFTER VisualClozeModel construction — the
+    # constructor's rope-layout permutation runs on the host, and sharding
+    # first would mean gather-to-host + re-shard for the largest DiT leaves.
 
     def sub(name: str) -> str | None:
         p = os.path.join(snapshot, name) if snapshot else None
@@ -253,8 +254,8 @@ def build_visualcloze(
         # compile-first + format-matched load (serving.load_params_dir /
         # load_compiled_params — bench.py phase B is the worked example).
         model.calibrate_w8a8_smooth(queries=calib_queries)
-        if mesh is not None:
-            model.params = shard_params(model.params, mesh)
+    if mesh is not None:
+        model.params = shard_params(model.params, mesh)
     return model
 
 
@@ -301,12 +302,13 @@ def random_components(
         _tiny_tokenizer(clip_cfg.vocab_size) if tiny else default_tokenizer("clip", None),
         clip_cfg.max_length,
     )
-    if mesh is not None:
-        params = shard_params(params, mesh)
-    return VisualClozeModel(
+    model = VisualClozeModel(
         flux_cfg, params, ae, t5, clip, resolution=resolution,
         attn_impl=attn_impl, rope_layout=rope_layout,
     )
+    if mesh is not None:  # after the constructor's rope permutation
+        model.params = shard_params(model.params, mesh)
+    return model
 
 
 def _tiny_tokenizer(vocab_size: int):

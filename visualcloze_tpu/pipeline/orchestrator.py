@@ -91,7 +91,22 @@ class ReplicaPool:
                 out.set_exception(RuntimeError("no replica available"))
             return
         tried.add(i)
-        inner = self.replicas[i].submit(*args, **kwargs)
+        try:
+            inner = self.replicas[i].submit(*args, **kwargs)
+        except Exception as err:
+            # e.g. RuntimeError from a shut-down executor during drain — a
+            # raise here runs inside submit() or a done-callback, where an
+            # unhandled exception would leave `out` unresolved forever and
+            # leak the _inflight slot; treat it like a failed query
+            with self._lock:
+                self._inflight[i] -= 1
+                self._failures[i] += 1
+                more = len(tried) < len(self.replicas)
+            if more:
+                self._dispatch(out, tried, args, kwargs)
+            else:
+                out.set_exception(err)
+            return
 
         def _done(f: Future):
             with self._lock:

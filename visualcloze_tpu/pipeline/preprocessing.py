@@ -87,18 +87,23 @@ def preprocess_grid(
 
     for i in range(grid_h):
         reference_size = None
+        ref_j, ref_resized = None, None  # reuse the reference cell's LANCZOS
         for j in range(grid_w):
             if images[i][j] is not None:
                 if i == grid_h - 1 and upsampling_size is None:
                     upsampling_size = images[i][j].size
-                resized = resize_with_aspect_ratio(images[i][j], resolution)
-                reference_size = resized.size
+                ref_resized = resize_with_aspect_ratio(images[i][j], resolution)
+                reference_size = ref_resized.size
+                ref_j = j
                 if i == grid_h - 1 and target_size is None:
                     target_size = reference_size
                 break
         for j in range(grid_w):
             if images[i][j] is not None:
-                target = resize_with_aspect_ratio(images[i][j], resolution)
+                target = (
+                    ref_resized if j == ref_j
+                    else resize_with_aspect_ratio(images[i][j], resolution)
+                )
                 if target.width <= target.height:
                     target = target.resize(
                         (reference_size[0], int(reference_size[0] / target.width * target.height))

@@ -126,9 +126,18 @@ class ServingFrontend:
     module docstring and serve.py's --max_queue help."""
 
     def __init__(self, server: PipelinedServer, max_queue: int = 8,
-                 max_inflight: int = 2):
+                 max_inflight: int = 2, result_timeout_s: float | None = 900.0):
         self.server = server
         self.max_queue = max_queue
+        # Bound on one query's wait (queue + compile + denoise). Without it a
+        # wedged backend call (e.g. a dead device tunnel that blocks instead
+        # of raising) pins its handler thread AND its admission slot forever;
+        # after max_inflight+max_queue such requests the server 429s
+        # everything with /healthz still green. On timeout the client gets
+        # 504 and the slot is released (the backend future is left to its
+        # own completion/failure — per-replica health accounting still sees
+        # it). None disables the bound.
+        self.result_timeout_s = result_timeout_s
         self.metrics = _Metrics()
         self._admit = threading.Semaphore(max_inflight + max_queue)
         self._depth_lock = threading.Lock()
@@ -153,22 +162,28 @@ class ServingFrontend:
         grid = [
             [None if c is None else _b64_to_image(c) for c in row] for row in rows
         ]
-        gh, gw = body.get("grid_size") or (len(grid), len(grid[0]))
+        gs = body.get("grid_size")
+        if gs is not None and (not isinstance(gs, (list, tuple)) or len(gs) != 2):
+            raise ValueError("'grid_size' must be a [h, w] pair")
+        try:  # malformed scalars (e.g. "seed": null) are client errors, not 500s
+            gh, gw = (int(gs[0]), int(gs[1])) if gs is not None else (
+                len(grid), len(grid[0]))
+            kwargs = dict(
+                grid_size=(gh, gw),
+                seed=int(body.get("seed", 0)),
+                cfg=float(body.get("cfg", 30.0)),
+                steps=int(body.get("steps", 30)),
+                upsampling_steps=int(body.get("upsampling_steps", 10)),
+                upsampling_noise=float(body.get("upsampling_noise", 0.4)),
+                is_upsampling=bool(body.get("upsampling", True)),
+                adapter=body.get("adapter"),
+            )
+        except TypeError as e:
+            raise ValueError(f"bad request parameter: {e}") from e
         if (gh, gw) != (len(grid), len(grid[0])):
             raise ValueError(f"grid_size {(gh, gw)} != images shape")
-        fut = self.server.submit(
-            grid,
-            [str(p) for p in prompts],
-            grid_size=(gh, gw),
-            seed=int(body.get("seed", 0)),
-            cfg=float(body.get("cfg", 30.0)),
-            steps=int(body.get("steps", 30)),
-            upsampling_steps=int(body.get("upsampling_steps", 10)),
-            upsampling_noise=float(body.get("upsampling_noise", 0.4)),
-            is_upsampling=bool(body.get("upsampling", True)),
-            adapter=body.get("adapter"),
-        )
-        images = fut.result()
+        fut = self.server.submit(grid, [str(p) for p in prompts], **kwargs)
+        images = fut.result(timeout=self.result_timeout_s)
         return {"images": [_image_to_b64(im) for im in images]}
 
     # ----------------------------- HTTP plumbing -----------------------------
@@ -229,6 +244,11 @@ class ServingFrontend:
                 except (ValueError, json.JSONDecodeError) as e:
                     client_err = True
                     self._send(400, json.dumps({"error": str(e)}))
+                except TimeoutError:  # fut.result(result_timeout_s)
+                    self._send(504, json.dumps(
+                        {"error": "backend timeout: query exceeded "
+                                  f"{fe.result_timeout_s}s"}
+                    ))
                 except Exception as e:  # pragma: no cover - defensive
                     self._send(500, json.dumps(
                         {"error": f"{type(e).__name__}: {e}"}
@@ -253,12 +273,14 @@ def run_frontend(
     max_inflight: int = 2,
     max_queue: int = 8,
     block: bool = True,
+    result_timeout_s: float | None = 900.0,
 ):
     """HTTP frontend over any submit/close server (PipelinedServer or
     ReplicaPool). block=False returns (httpd, frontend) with a daemon
     thread serving — tests and embedding use this; block=True serves
     forever."""
-    fe = ServingFrontend(server, max_queue=max_queue, max_inflight=max_inflight)
+    fe = ServingFrontend(server, max_queue=max_queue, max_inflight=max_inflight,
+                         result_timeout_s=result_timeout_s)
     httpd = fe.serve(host, port)
     if block:  # pragma: no cover - interactive path
         import signal as _signal
@@ -292,6 +314,7 @@ def run_server(
     max_inflight: int = 2,
     max_queue: int = 8,
     block: bool = True,
+    result_timeout_s: float | None = 900.0,
 ):
     """Wrap a VisualClozeModel in the pipelined orchestrator + HTTP frontend."""
     ps = PipelinedServer(
@@ -300,5 +323,5 @@ def run_server(
     )
     return run_frontend(
         ps, host=host, port=port, max_inflight=max_inflight,
-        max_queue=max_queue, block=block,
+        max_queue=max_queue, block=block, result_timeout_s=result_timeout_s,
     )

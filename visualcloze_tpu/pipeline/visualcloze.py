@@ -246,7 +246,7 @@ class VisualClozeModel:
                 txt=q["txt"], txt_ids=q["txt_ids"], timesteps=t_vec,
                 y=q["vec"], txt_mask=q["txt_mask"], img_mask=q["img_mask"],
                 guidance=q["guidance"], attn_impl=self.attn_impl,
-                collect_a8_stats=collect,
+                rope_layout=self.rope_layout, collect_a8_stats=collect,
             )
 
         # two programs: non-collection steps skip the per-linear absmax
