@@ -292,3 +292,70 @@ def test_h5_cache_roundtrip(tmp_path, dataset):
     assert len(cached) == len(dataset)
     group, rows, instruction, _, _ = cached[0]
     assert group == "image_grid_graph200k"
+
+
+def test_dataloader_forwards_worker_exceptions():
+    """A dataset error mid-stream must re-raise in the consumer, not surface
+    as a clean end-of-data (the trainer would die with a bare StopIteration
+    and the root cause lost to a thread traceback)."""
+
+    class Boom(Exception):
+        pass
+
+    class BadDataset:
+        def __getitem__(self, i):
+            if i == 3:
+                raise Boom("record 3 unreadable")
+            return i
+
+    loader = DataLoader(BadDataset(), list(range(6)), batch_size=2,
+                        collate_fn=list, num_workers=2)
+    got = []
+    with pytest.raises(Boom, match="record 3"):
+        for batch in loader:
+            got.append(batch)
+    assert got == [[0, 1]]  # the good batch before the failure still arrives
+
+
+def test_dataloader_early_exit_does_not_leak_producer():
+    """Breaking out of iteration with prefetched batches queued must let the
+    producer thread exit (a blocking put would pin it for the process
+    lifetime)."""
+    import threading
+    import time
+
+    class SlowishDataset:
+        def __getitem__(self, i):
+            return i
+
+    before = threading.active_count()
+    loader = DataLoader(SlowishDataset(), list(range(100)), batch_size=2,
+                        collate_fn=list, num_workers=2, prefetch=2)
+    for batch in loader:
+        break  # leave prefetched batches in the bounded queue
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
+def test_grid_dataset_does_not_stomp_global_random(tmp_path):
+    """_collect_annotations with a ratio META entry must not reseed the
+    interpreter-global random module as a constructor side effect."""
+    records = [make_record(tmp_path, i) for i in range(6)]
+    ann_path = tmp_path / "data.json"
+    ann_path.write_text(json.dumps(records))
+    config = tmp_path / "config.yaml"
+    config.write_text(
+        f"META:\n- path: {ann_path}\n  type: image_grid_graph200k\n  ratio: 0.5\n"
+    )
+    task_dicts = {"image_grid_graph200k": [
+        {"task_name": "conditional generation", "sample_weight": 1.0,
+         "image_list": [["canny", "target"]]}
+    ]}
+    random.seed(12345)
+    state_before = random.getstate()
+    ds = GridDataset(str(config), Graph200KItemProcessor(resolution=64),
+                     task_dicts=task_dicts)
+    assert random.getstate() == state_before
+    assert len(ds) == 3  # the 0.5 subsample itself still applies

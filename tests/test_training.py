@@ -205,3 +205,32 @@ def test_shard_micro_batches_splits_batch_over_dp_fsdp():
     half = shard_micro_batches(batch, mesh1)["x1"].sharding.shard_shape((accum, bs, l, d))
     assert half == (accum, bs // 2, l, d)
     assert shard_shape[1] == half[1] // 2  # dp=2 halves the per-device batch
+
+
+def test_ema_pruned_to_trainable_mask(setup):
+    """EMA for bias training must track ONLY the mask-selected leaves — a
+    full-tree EMA would duplicate the entire fp32 base in memory and in
+    every checkpoint while frozen leaves satisfy ema == param identically."""
+    params, _, transport = setup
+    mask = trainable_mask(params, "bias")
+    opt = make_optimizer(lr=1e-2, mask=mask)
+    state = init_train_state(params, None, opt, "bias", use_ema=True, mask=mask)
+
+    n_trainable = sum(
+        int(np.asarray(l).size)
+        for m, l in zip(jax.tree.leaves(mask), jax.tree.leaves(params)) if m
+    )
+    n_ema = sum(int(np.asarray(l).size) for l in jax.tree.leaves(state.ema))
+    n_total = sum(int(np.asarray(l).size) for l in jax.tree.leaves(params))
+    assert n_ema == n_trainable and n_ema < n_total / 10
+
+    step = jax.jit(make_train_step(CFG, transport, opt, "bias", ema_decay=0.5,
+                                   attn_impl="xla", compute_dtype=jnp.float32))
+    new_state, _ = step(state, make_batch(), jax.random.PRNGKey(0))
+    # EMA moved toward the updated biases
+    before = np.asarray(state.ema["img_in"]["b"])
+    after = np.asarray(new_state.ema["img_in"]["b"])
+    target = np.asarray(new_state.params["img_in"]["b"])
+    np.testing.assert_allclose(after, 0.5 * before + 0.5 * target, rtol=1e-5, atol=1e-6)
+    # and the EMA tree still has no weight entries
+    assert "w" not in new_state.ema["img_in"]

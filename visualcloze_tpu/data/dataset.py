@@ -90,8 +90,12 @@ class GridDataset:
             else:
                 raise NotImplementedError(f"unknown meta extension {ext!r}")
             if "ratio" in meta:
-                random.seed(0)
-                meta_l = random.sample(meta_l, int(len(meta_l) * meta["ratio"]))
+                # local Random: same deterministic subsample as seeding the
+                # global module with 0, WITHOUT stomping interpreter-global
+                # random state as a hidden constructor side effect
+                meta_l = random.Random(0).sample(
+                    meta_l, int(len(meta_l) * meta["ratio"])
+                )
             if "root" in meta:
                 for item in meta_l:
                     for path_key in ("path", "image_url", "image", "input_path", "target_path"):
@@ -164,10 +168,23 @@ class GridDataset:
         is exhausted (the reference would spin forever — dataset.py:194-202)."""
         for _, idxs in self.group_indices.items():
             if idxs[0] <= index <= idxs[-1]:
-                available = [i for i in idxs if i not in tried]
-                if not available:
+                n = len(idxs)
+                if len(tried) >= n:
                     raise LookupError("group exhausted for this task spec")
-                index = rng.choice(available)
+                if len(tried) * 2 < n:
+                    # rejection sampling: O(1) amortized while the tried set
+                    # is sparse (rebuilding the candidate list per draw was
+                    # O(group) — quadratic over a mostly-failing group)
+                    while True:
+                        cand = idxs[rng.randrange(n)]
+                        if cand not in tried:
+                            break
+                else:  # mostly exhausted: materialize the complement once
+                    available = [i for i in idxs if i not in tried]
+                    if not available:
+                        raise LookupError("group exhausted for this task spec")
+                    cand = rng.choice(available)
+                index = cand
                 tried.add(index)
                 break
         return index

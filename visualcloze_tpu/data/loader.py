@@ -40,6 +40,19 @@ class DataLoader:
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            """Bounded put that gives up once the consumer is gone. A plain
+            blocking put would pin the producer thread (and the prefetched
+            batches it holds) forever after an early consumer exit — stop is
+            only observable between put attempts."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
@@ -54,9 +67,16 @@ class DataLoader:
                     for futs in futures_iter:
                         if stop.is_set():
                             return
-                        out_q.put(self.collate_fn([f.result() for f in futs]))
+                        if not put(self.collate_fn([f.result() for f in futs])):
+                            return
+            except BaseException as e:
+                # forward dataset/collate errors to the consumer — swallowed,
+                # they would surface as a clean end-of-data (a bare
+                # StopIteration mid-training) with the root cause lost to an
+                # unrelated thread traceback on stderr
+                put(_Raise(e))
             finally:
-                out_q.put(_SENTINEL)
+                put(_SENTINEL)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -65,9 +85,23 @@ class DataLoader:
                 item = out_q.get()
                 if item is _SENTINEL:
                     return
+                if isinstance(item, _Raise):
+                    raise item.exc
                 yield item
         finally:
             stop.set()
+            while True:  # free buffered batches; unblocks a mid-put producer
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    break
+
+
+class _Raise:
+    """Producer-side exception carrier (re-raised in the consumer)."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
 
 
 _SENTINEL = object()

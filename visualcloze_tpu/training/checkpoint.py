@@ -57,19 +57,26 @@ def save_checkpoint(
 
     from ..models.lora import is_moe_lora
 
-    if state.lora is not None and not is_moe_lora(state.lora):
-        # MoE-LoRA trees have no reference .pth format (the reference's
-        # MixtureOfLoRAExperts is dead code); they live in the orbax state
-        _save_torch_lora(ckpt_dir / "consolidated.00-of-01.pth", state.lora, flux_cfg)
-        if save_ema and state.ema is not None:
-            _save_torch_lora(ckpt_dir / "consolidated_ema.00-of-01.pth", state.ema, flux_cfg)
+    # Host-side sidecar files are written by process 0 ONLY. The orbax save
+    # above is collective (every process contributes its shards to the shared
+    # checkpoint directory), but these are whole-file writes: N processes
+    # writing the same multi-hundred-MB .pth to one shared-filesystem path
+    # concurrently interleave into a corrupt file — which would still look
+    # committed once resume_step.txt lands.
+    if jax.process_index() == 0:
+        if state.lora is not None and not is_moe_lora(state.lora):
+            # MoE-LoRA trees have no reference .pth format (the reference's
+            # MixtureOfLoRAExperts is dead code); they live in the orbax state
+            _save_torch_lora(ckpt_dir / "consolidated.00-of-01.pth", state.lora, flux_cfg)
+            if save_ema and state.ema is not None:
+                _save_torch_lora(ckpt_dir / "consolidated_ema.00-of-01.pth", state.ema, flux_cfg)
 
-    if model_args is not None:
-        (ckpt_dir / "model_args.json").write_text(json.dumps(model_args, indent=2))
-    # written LAST: doubles as the commit marker — find_latest_checkpoint
-    # ignores directories without it, so a save interrupted mid-write (chip
-    # preemption) can never brick or silently zero-step an --auto_resume
-    (ckpt_dir / "resume_step.txt").write_text(str(step))
+        if model_args is not None:
+            (ckpt_dir / "model_args.json").write_text(json.dumps(model_args, indent=2))
+        # written LAST: doubles as the commit marker — find_latest_checkpoint
+        # ignores directories without it, so a save interrupted mid-write (chip
+        # preemption) can never brick or silently zero-step an --auto_resume
+        (ckpt_dir / "resume_step.txt").write_text(str(step))
     return str(ckpt_dir)
 
 

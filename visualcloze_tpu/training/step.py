@@ -79,8 +79,29 @@ def make_optimizer(
 
 
 def update_ema(ema: Params, new: Params, decay: float = 0.95) -> Params:
-    """ema = decay * ema + (1 - decay) * new (ref train.py:92-102)."""
-    return jax.tree.map(lambda e, p: decay * e + (1.0 - decay) * p, ema, new)
+    """ema = decay * ema + (1 - decay) * new (ref train.py:92-102).
+
+    `ema` may be a mask-pruned SUBTREE of `new` (init_train_state with a
+    trainability mask): dict nodes are walked by ema's own keys, so frozen
+    branches absent from ema are simply never touched."""
+    if isinstance(ema, dict):
+        return {k: update_ema(v, new[k], decay) for k, v in ema.items()}
+    return decay * ema + (1.0 - decay) * new
+
+
+def prune_to_mask(tree: Params, mask: Params | None):
+    """Subtree of `tree` keeping only mask-True leaves (emptied dicts are
+    dropped). mask=None keeps everything."""
+    if mask is None:
+        return tree
+    if isinstance(tree, dict):
+        out = {}
+        for k, v in tree.items():
+            sub = prune_to_mask(v, mask[k])
+            if sub is not None:
+                out[k] = sub
+        return out or None
+    return tree if mask else None
 
 
 def init_train_state(
@@ -89,14 +110,20 @@ def init_train_state(
     optimizer: optax.GradientTransformation,
     training_type: str = "lora",
     use_ema: bool = False,
+    mask: Params | None = None,
 ) -> TrainState:
+    """mask (the trainable_mask for bias/norm/double_block modes) prunes the
+    EMA to the leaves that can ever change — a full-tree EMA for bias
+    training would duplicate the entire fp32 base (~48 GB at 12B) in memory
+    and in every checkpoint while frozen leaves satisfy ema == param
+    identically."""
     trainable = lora if training_type == "lora" else params
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         lora=lora,
         opt_state=optimizer.init(trainable),
-        ema=jax.tree.map(jnp.copy, trainable) if use_ema else None,
+        ema=jax.tree.map(jnp.copy, prune_to_mask(trainable, mask)) if use_ema else None,
     )
 
 

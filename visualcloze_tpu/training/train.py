@@ -205,7 +205,10 @@ def main(argv=None) -> None:
     if args.training_type not in ("lora", "full_model"):
         mask = trainable_mask(params, args.training_type)
     optimizer = make_optimizer(args.lr, args.wd, args.grad_clip, mask)
-    state = init_train_state(params, lora, optimizer, args.training_type, args.use_model_ema)
+    state = init_train_state(
+        params, lora, optimizer, args.training_type, args.use_model_ema,
+        mask=mask,
+    )
 
     transport = create_transport(
         "Linear", "velocity", snr_type=args.snr_type, do_shift=not args.no_shift
@@ -285,6 +288,13 @@ def main(argv=None) -> None:
             f"dp x fsdp = {args.micro_bsz} x {n_data} = {global_micro}"
         )
     accum = args.global_bsz // global_micro
+    if args.global_bsz % world != 0:
+        raise SystemExit(
+            f"--global_bsz {args.global_bsz} must be a multiple of the process "
+            f"count {world}: each host loads global_bsz/world samples, and a "
+            "floored split would silently shrink the batch AND desynchronize "
+            "the sampler's resume offset from what the loader consumed"
+        )
     local_bsz = args.global_bsz // world  # samples this host loads per step
     if local_bsz % accum != 0:
         raise SystemExit(
@@ -318,8 +328,12 @@ def main(argv=None) -> None:
 
     # ----- loop (ref train.py:544-677) -----
     os.makedirs(ckpt_root, exist_ok=True)
-    rng = np.random.default_rng(args.global_seed + process_index)
-    key = jax.random.PRNGKey(args.global_seed + 1000 + process_index)
+    # All host/device randomness is derived per step from (seed, host, step)
+    # below, never advanced sequentially: a resumed run at step k draws
+    # exactly what the uninterrupted run drew at step k (sequential streams
+    # would replay the from-start sequence after --auto_resume, correlating
+    # post-resume mask/caption/t/noise draws with early training).
+    base_key = jax.random.PRNGKey(args.global_seed + 1000 + process_index)
     timer = PhaseTimer()
     loss_meter = SmoothedValue()
     logger.info("training for %d steps from %d", args.max_steps, resume_step)
@@ -340,12 +354,28 @@ def main(argv=None) -> None:
     if threading.current_thread() is threading.main_thread():
         signal.signal(signal.SIGTERM, _on_preempt)
 
+    def agreed_preempt() -> bool:
+        """SIGTERM lands per host; the checkpoint save below is a collective.
+        Hosts that disagree (signal skew around the step boundary) would split
+        between save_checkpoint's collectives and the next train_step's and
+        deadlock until the grace window kills the slice — so the flag is
+        max-reduced across processes before branching."""
+        if world == 1:
+            return preempted["flag"]
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.asarray(preempted["flag"], np.int32)
+        )
+        return bool(np.max(flags))
+
     for step in range(resume_step, args.max_steps):
         timer.reset()
         _, rows_batch, prompts, _, grid_shapes = next(loader_iter)
         timer.mark("DataloadSecs")
 
-        key, bk, sk = jax.random.split(key, 3)
+        rng = np.random.default_rng((args.global_seed, process_index, step))
+        bk, sk = jax.random.split(jax.random.fold_in(base_key, step))
         batch = prepare_train_batch(
             ae, t5, clip, rows_batch, prompts, grid_shapes, bk, rng,
             caption_dropout=args.caption_dropout_prob, bucket=args.max_seq_bucket,
@@ -372,17 +402,18 @@ def main(argv=None) -> None:
             if wandb_run is not None:
                 wandb_run.log({"loss": loss, "grad_norm": gn, "lr": args.lr}, step=step)
 
+        stop = agreed_preempt()
         if (
             (step + 1) % args.ckpt_every == 0
             or step + 1 == args.max_steps
-            or preempted["flag"]
+            or stop
         ):
             path = ckpt.save_checkpoint(
                 ckpt_root, step + 1, state, flux_cfg,
                 model_args=vars(args), save_ema=args.use_model_ema,
             )
             logger.info("saved checkpoint %s", path)
-        if preempted["flag"]:
+        if stop:
             logger.warning("preempted at step %d: checkpoint saved, exiting "
                            "cleanly for --auto_resume restart", step + 1)
             break
