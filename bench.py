@@ -313,13 +313,14 @@ def bench_bf16_slice(ts) -> dict:
     print("A) bf16 slice: compiling...", file=sys.stderr)
     _sync(run(params, inp["x"], ts))
     p50 = _time3(run, params, inp["x"], ts)
+    n = len(ts) - 1  # integrator steps actually run by the scan
     bench_fl = dit_flops(cfg, L_IMG, L_TXT)
     full_fl = dit_flops(full_cfg, L_IMG, L_TXT)
-    mfu = bench_fl / (p50 / STEPS) / V5E_PEAK_BF16
+    mfu = bench_fl / (p50 / n) / V5E_PEAK_BF16
     extrap = p50 * full_fl / bench_fl
     print(
         f"A) bf16 slice ({cfg.depth}+{cfg.depth_single_blocks} blocks): "
-        f"{p50 / STEPS * 1e3:.1f} ms/step, MFU {mfu:.1%}; 12B extrapolation {extrap:.2f}s",
+        f"{p50 / n * 1e3:.1f} ms/step, MFU {mfu:.1%}; 12B extrapolation {extrap:.2f}s",
         file=sys.stderr,
     )
     del params, run, inp
@@ -448,7 +449,9 @@ def main() -> None:
 
     enable_compilation_cache()
 
-    ts = jnp.asarray(ode_timesteps(STEPS + 1, L_IMG, do_shift=True))
+    # exactly the pipeline's stage-1 grid (visualcloze.py passes steps as
+    # num_points: "30 steps" = 30 grid points = 29 integrator steps)
+    ts = jnp.asarray(ode_timesteps(STEPS, L_IMG, do_shift=True))
     # stage-2 grid exactly as pipeline.prepare_upsampling builds it
     ts2 = jnp.asarray(
         ode_timesteps(STEPS2, L2, do_shift=False, strength=NOISE2,

@@ -95,6 +95,14 @@ def serving_attn_impl(args, mesh):
 
 def main(argv=None):
     args = parse_args(argv)
+    if not args.demo and not args.rows:
+        # fail fast: without this, the multi-minute checkpoint load finishes
+        # and THEN an IndexError fires on the empty grid
+        raise SystemExit(
+            "--rows is required (repeat once per grid row, comma-separated "
+            "cells, MASK for the target), e.g. "
+            "--rows a.png,b.png --rows query.png,MASK"
+        )
     from visualcloze_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()

@@ -102,6 +102,18 @@ def main(argv=None):
         collected = {m["id"] for m in manifest}
 
     processor = Graph200KItemProcessor(resolution=resolution)
+    # items passing a row spec, computed once per DISTINCT spec (scanning all
+    # N items inside the innermost loop was O(N^2 * tasks) host work)
+    pass_cache: dict[tuple, list[int]] = {}
+
+    def passing(row_spec) -> list[int]:
+        key = tuple(row_spec)
+        if key not in pass_cache:
+            pass_cache[key] = [
+                k for k, x in enumerate(items) if check_item_graph200k(x, row_spec)
+            ]
+        return pass_cache[key]
+
     for item_idx, item in enumerate(items):
         if item_idx % args.num_shards != args.shard:
             continue  # another worker's item (partners still drawn from all)
@@ -113,14 +125,18 @@ def main(argv=None):
                         continue
                     if not check_item_graph200k(item, row_spec):
                         continue
-                    # random context partners that also pass the check
-                    partners = [
-                        x for x in items
-                        if x is not item and check_item_graph200k(x, row_spec)
-                    ]
+                    partners = [items[k] for k in passing(row_spec) if k != item_idx]
                     if len(partners) < context_num - 1:
                         continue
-                    records = random.sample(partners, context_num - 1) + [item]
+                    # ALL per-sample randomness (partner choice + generation
+                    # seed) is a pure function of (--seed, sample_id): the
+                    # sweep reproduces identically across resume (the
+                    # collected-id skip consumes no draws), sharding layouts,
+                    # and reruns — global-stream draws depended on position
+                    # in the RNG call sequence
+                    srng = random.Random(f"{args.seed}:{sample_id}")
+                    gen_seed = srng.randrange(1, 2**31)  # 0 means "random" downstream
+                    records = srng.sample(partners, context_num - 1) + [item]
                     _, image_list, prompts, _, (cols, rows_n) = processor.process_item(
                         records, training_mode=False, image_type_list=list(row_spec),
                         context_num=context_num, group_name="image_grid_graph200k",
@@ -129,7 +145,7 @@ def main(argv=None):
                     model.set_grid_size(rows_n, cols)
                     try:
                         outs = model.process_images(
-                            image_list, prompts, seed=args.seed,
+                            image_list, prompts, seed=gen_seed,
                             cfg=args.guidance, steps=args.steps, is_upsampling=False,
                         )
                     except Exception as e:
@@ -142,7 +158,8 @@ def main(argv=None):
                     manifest.append(
                         {"id": sample_id, "image": out_path,
                          "task": task["task_name"], "types": list(row_spec),
-                         "context_num": context_num, "prompts": prompts}
+                         "context_num": context_num, "prompts": prompts,
+                         "seed": gen_seed}
                     )
                     with open(manifest_path, "w") as f:
                         json.dump(manifest, f, indent=1)

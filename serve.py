@@ -117,6 +117,15 @@ def _build_model(args, mesh, attn_impl, seed=0):
         model.solver = args.solver
         if args.quantize == "w8a8_smooth":
             model.calibrate_w8a8_smooth(steps=4, stride=2)
+        elif args.quantize:  # int8 / w8a8, same as inference.py's demo path
+            from visualcloze_tpu.models.quant import (
+                quantize_flux_int8,
+                quantize_flux_w8a8,
+            )
+
+            model.params = {
+                "int8": quantize_flux_int8, "w8a8": quantize_flux_w8a8,
+            }[args.quantize](model.params)
         _add_adapters(model, args)
         return model
     from visualcloze_tpu.pipeline import build_visualcloze
@@ -128,6 +137,24 @@ def _build_model(args, mesh, attn_impl, seed=0):
     )
     _add_adapters(model, args)
     return model
+
+
+def _warm_server(ps, model, shapes, steps: int):
+    """Pre-compile the serving programs through the PipelinedServer path
+    (device placement identical to real requests), one pass per grid shape
+    per distinct adapter jit signature."""
+    from PIL import Image
+
+    res = model.resolution
+    for gh, gw in shapes:
+        blank = Image.new("RGB", (res, res), (0, 0, 0))
+        grid = [[blank] * gw for _ in range(gh)]
+        grid[-1][-1] = None
+        for adapter in model.adapter_warm_set():
+            ps.submit(
+                grid, ["warmup", "", ""], grid_size=(gh, gw), seed=1,
+                steps=steps, is_upsampling=True, adapter=adapter,
+            ).result()
 
 
 def main(argv=None):
@@ -156,14 +183,18 @@ def main(argv=None):
         enc_dev = dit_dev = None
         if disaggregate and args.replicas * 2 <= len(devices):
             enc_dev, dit_dev = devices[2 * r], devices[2 * r + 1]
-        elif disaggregate and args.replicas == 1:
-            enc_dev, dit_dev = devices[0], devices[1]
-        if warm_shapes:
-            model.warmup(warm_shapes, steps=4 if args.demo else 30)
-        replicas.append(PipelinedServer(
+        ps = PipelinedServer(
             model, encoder_device=enc_dev, dit_device=dit_dev,
             max_inflight=args.max_inflight,
-        ))
+        )
+        if warm_shapes:
+            # AFTER PipelinedServer pins weights, and THROUGH its submit
+            # path: model.warmup() before construction would compile every
+            # program for the wrong device placement (first real request
+            # recompiles) and co-locate T5-XXL + DiT on one chip — the exact
+            # co-residency the disaggregated topology exists to avoid
+            _warm_server(ps, model, warm_shapes, steps=4 if args.demo else 30)
+        replicas.append(ps)
     server = replicas[0] if args.replicas == 1 else ReplicaPool(replicas)
 
     print(f"serving on {args.host}:{args.port} "

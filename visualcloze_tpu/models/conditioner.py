@@ -49,7 +49,11 @@ class FallbackTokenizer:
                     h = (h * 131 + ord(ch)) % (self.vocab_size - 16)
                 ids.append(h + 8)
             ids.append(self.eos_id)
-            ids = ids[:max_length]
+            if len(ids) > max_length:
+                # truncate CONTENT, keep EOS last — HF tokenizers keep the
+                # final </s> under truncation, and downstream encoders treat
+                # the EOS position specially
+                ids = ids[: max_length - 1] + [self.eos_id]
             out[i, : len(ids)] = ids
         return out
 

@@ -141,6 +141,28 @@ class VisualClozeModel:
         self.grid_h = h
         self.grid_w = w
 
+    def adapter_warm_set(self) -> list[str | None]:
+        """[None] + one registered-adapter name per distinct jit signature.
+
+        Adapters with the SAME signature (pytree structure + leaf shapes/
+        dtypes — i.e. same rank and checkpoint coverage) share one compiled
+        denoise program, so warming one representative covers them all; a
+        rank-64 and a rank-256 adapter are different programs."""
+        passes: list[str | None] = [None]
+        seen: set = set()
+        for name, tree in self.adapters.items():
+            sig = (
+                jax.tree_util.tree_structure(tree),
+                tuple(
+                    (x.shape, jnp.asarray(x).dtype)
+                    for x in jax.tree_util.tree_leaves(tree)
+                ),
+            )
+            if sig not in seen:
+                seen.add(sig)
+                passes.append(name)
+        return passes
+
     def warmup(self, grid_shapes: list[tuple[int, int]], steps: int = 30,
                upsampling_steps: int = 10, upsampling_noise: float = 0.4,
                upsampling_sizes: list[tuple[int, int]] | None = None,
@@ -154,24 +176,7 @@ class VisualClozeModel:
         stage for — the in-grid pass only covers targets at `resolution`
         (the stage-2 sequence length follows the QUERY image's native size,
         so e.g. 1024x768 requests hit a different bucket)."""
-        # adapters with the SAME jit signature (pytree structure + leaf
-        # shapes/dtypes — i.e. same rank and checkpoint coverage) share one
-        # compiled program, so warm one representative per distinct
-        # signature; a rank-64 and a rank-256 adapter are different programs.
-        adapter_passes: list[str | None] = [None]
-        if warm_adapters and self.adapters:
-            seen: set = set()
-            for name, tree in self.adapters.items():
-                sig = (
-                    jax.tree_util.tree_structure(tree),
-                    tuple(
-                        (x.shape, jnp.asarray(x).dtype)
-                        for x in jax.tree_util.tree_leaves(tree)
-                    ),
-                )
-                if sig not in seen:
-                    seen.add(sig)
-                    adapter_passes.append(name)
+        adapter_passes = self.adapter_warm_set() if warm_adapters else [None]
         for gh, gw in grid_shapes:
             self.set_grid_size(gh, gw)
             blank = Image.new("RGB", (self.resolution, self.resolution), (0, 0, 0))
