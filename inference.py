@@ -39,7 +39,14 @@ def parse_args(argv=None):
     p.add_argument("--upsampling_steps", type=int, default=10)
     p.add_argument("--upsampling_noise", type=float, default=0.4)
     p.add_argument("--no_upsampling", action="store_true")
-    p.add_argument("--solver", default="euler", choices=["euler", "heun", "ab2", "dopri5"])
+    p.add_argument(
+        "--solver", default="euler",
+        choices=["euler", "heun", "ab2", "dopri5", "cached", "cached:2",
+                 "cached:3", "cached:4"],
+        help="ODE method; cached[:K] is the velocity-cache serving mode "
+        "(model evals only every K-th step, linear extrapolation between — "
+        "~K-fold fewer DiT calls; quality is checkpoint-dependent)",
+    )
     p.add_argument("-o", "--output", default="example.jpg")
     p.add_argument("--demo", action="store_true", help="tiny random model, no checkpoints")
     p.add_argument("--tp", type=int, default=1,

@@ -379,3 +379,60 @@ def test_ab2_second_order_convergence_on_shifted_grid():
     assert e_ab2_16 < e_eul_16 / 2  # big win at equal evals
     order = np.log2(e_ab2_16 / e_ab2_32)
     assert order > 1.6, order  # ~2nd order on the nonuniform grid
+
+
+def test_cached_interval1_matches_euler():
+    # every step fresh: the velocity-cache mode degenerates to plain euler
+    rng = np.random.default_rng(5)
+    w = rng.standard_normal((4, 4)).astype(np.float32) * 0.1
+
+    def model_fn(img, timesteps):
+        return jnp.tanh(img @ jnp.asarray(w)) + timesteps[:, None, None]
+
+    x0 = jnp.asarray(rng.standard_normal((2, 3, 4)).astype(np.float32))
+    ts = jnp.asarray(ode_timesteps(12, 1024, do_shift=True))
+    a = denoise_ode(model_fn, x0, ts, {}, method="euler")
+    b = denoise_ode(model_fn, x0, ts, {}, method="cached:1")
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-6)
+
+
+def test_cached_exact_on_affine_in_t_velocity():
+    # v(t) = 3 - 2t is affine in t, so the linear-in-t extrapolation between
+    # refreshes is exact and cached:3 reproduces dense euler
+    def model_fn(img, timesteps):
+        return jnp.broadcast_to((3.0 - 2.0 * timesteps)[:, None, None], img.shape)
+
+    x = jnp.zeros((1, 2, 2))
+    ts = jnp.asarray(np.linspace(1.0, 0.0, 13, dtype=np.float32))
+    a = denoise_ode(model_fn, x, ts, {}, method="euler")
+    b = denoise_ode(model_fn, x, ts, {}, method="cached:3")
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-6)
+
+
+def test_cached_beats_coarse_euler_at_equal_eval_budget():
+    # state-dependent nonlinear velocity: 31-point cached:2 spends 16 model
+    # evals (bootstrap steps 0 and 1, then 3, 5, ..., 29) — the same budget
+    # as 17-point euler — but tracks the dense solution far more closely
+    rng = np.random.default_rng(7)
+    w = rng.standard_normal((4, 4)).astype(np.float32) * 0.5
+
+    def model_fn(img, timesteps):
+        return jnp.tanh(img @ jnp.asarray(w)) * (1.0 + timesteps[:, None, None])
+
+    x0 = jnp.asarray(rng.standard_normal((1, 3, 4)).astype(np.float32))
+
+    def run(method, n):
+        ts = jnp.asarray(np.linspace(1.0, 0.0, n, dtype=np.float32))
+        return np.asarray(denoise_ode(model_fn, x0, ts, {}, method=method))
+
+    dense = run("euler", 301)
+    err_cached = np.abs(run("cached:2", 31) - dense).max()
+    err_coarse = np.abs(run("euler", 17) - dense).max()
+    assert err_cached < err_coarse * 0.5, (err_cached, err_coarse)
+
+
+def test_cached_unknown_suffix_fails_loud():
+    x = jnp.zeros((1, 2, 2))
+    ts = jnp.asarray([1.0, 0.5, 0.0])
+    with pytest.raises(NotImplementedError):
+        denoise_ode(lambda img, timesteps: img, x, ts, {}, method="cachedfoo")

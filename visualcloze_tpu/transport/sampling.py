@@ -14,6 +14,7 @@ num_steps-1 integrator steps, matching torchdiffeq-on-a-grid semantics.
 
 from __future__ import annotations
 
+import re
 from typing import Any, Callable
 
 import jax
@@ -43,10 +44,13 @@ def denoise_ode(
       cond: optional (B, L, C) channel-concatenated conditioning
         (transport.py:193-198 velocity_ode).
       method: "euler" (reference default), "heun" (2nd order, 2 evals/step),
-        or "ab2" (Adams–Bashforth 2 on the nonuniform shifted grid: 2nd
+        "ab2" (Adams–Bashforth 2 on the nonuniform shifted grid: 2nd
         order at ONE model eval per step — the training-free fast-solver
         family of PAPERS.md "Leveraging Previous Steps" applied TPU-style,
-        as a multistep scan carry instead of a solver cache).
+        as a multistep scan carry instead of a solver cache), or
+        "cached[:K]" (velocity-cache serving mode: model evals only every
+        K-th step + the last, linear-in-t extrapolation between refreshes —
+        ~K-fold fewer DiT calls on the same step grid).
 
     Returns final x.
     """
@@ -98,6 +102,60 @@ def denoise_ode(
         # carry v_prev = v(t0): the first AB2 step over [t1, t2] pairs its
         # fresh v(t1) with the true previous-node velocity
         (x32, _, _), _ = jax.lax.scan(step, (x32, v0, h0), pairs[1:])
+        return x32.astype(x.dtype)
+    elif method.startswith("cached"):
+        # Training-free velocity-cache serving mode (the FORA/TeaCache family
+        # of DiT accelerators, PAPERS.md "VDE"): the model is evaluated only on
+        # a static refresh schedule — every k-th integrator step plus the final
+        # one — and the skipped steps advance with the velocity linearly
+        # EXTRAPOLATED in t from the last two evals (exact whenever v is affine
+        # in t along the trajectory; a strictly better reuse rule than holding
+        # v constant). The schedule is data-independent, so the whole loop is
+        # still ONE compiled scan: each step's lax.cond runs either the full
+        # DiT or a 3-op extrapolation, cutting wall-clock by ~(k-1)/k of the
+        # denoise. Spelled "cached" (k=2) or "cached:K". Quality is
+        # checkpoint-dependent — gated like the quantized modes
+        # (docs/ROADMAP.md); the mechanism itself is exactness-tested.
+        m = re.fullmatch(r"cached(?::(\d+))?", method)
+        if m is None:
+            raise NotImplementedError(f"ODE method {method!r}")
+        k_every = max(int(m.group(1) or 2), 1)
+        n_steps = int(pairs.shape[0])
+        fresh = np.zeros((n_steps,), dtype=bool)
+        fresh[: min(2, n_steps)] = True  # bootstrap: two real evals before any
+        fresh[1::k_every] = True         # skip, so extrapolation is never a
+        fresh[-1] = True                 # zeroth-order hold; refresh the last
+        #                                  step — it shapes the fine detail
+
+        t0 = timesteps[0].astype(jnp.float32)
+        v0 = velocity(x, timesteps[0]).astype(jnp.float32)
+        x32 = x.astype(jnp.float32) + (timesteps[1].astype(jnp.float32) - t0) * v0
+        if n_steps == 1:
+            return x32.astype(x.dtype)
+        # (v1, t1) newest eval, (v2, t2) the one before; v2 = v1 at init makes
+        # the pre-second-eval extrapolation slope exactly zero (plain reuse).
+        carry0 = (x32, v0, t0, v0, t0 + 1.0)
+
+        def step(carry, inputs):
+            pair, is_fresh = inputs
+            t_cur = pair[0].astype(jnp.float32)
+            t_next = pair[1].astype(jnp.float32)
+
+            def eval_branch(op):
+                xc, v1, t1, v2, t2 = op
+                v = velocity(xc.astype(x.dtype), t_cur).astype(jnp.float32)
+                return v, v, t_cur, v1, t1
+
+            def reuse_branch(op):
+                xc, v1, t1, v2, t2 = op
+                v = v1 + (v1 - v2) * ((t_cur - t1) / (t1 - t2))
+                return v, v1, t1, v2, t2
+
+            v, v1, t1, v2, t2 = jax.lax.cond(is_fresh, eval_branch, reuse_branch, carry)
+            xc = carry[0] + (t_next - t_cur) * v
+            return (xc, v1, t1, v2, t2), None
+
+        (x32, *_), _ = jax.lax.scan(step, carry0, (pairs[1:], jnp.asarray(fresh[1:])))
         return x32.astype(x.dtype)
     else:
         raise NotImplementedError(f"ODE method {method!r}")
