@@ -190,7 +190,7 @@ def make_inputs(cfg, l_img: int = L_IMG, l_img_pad: int | None = None, l_txt: in
     )
 
 
-def make_run(cfg, inp, rope_layout="half"):
+def make_run(cfg, inp, rope_layout="half", method="euler"):
     from visualcloze_tpu.models.flux import flux_apply
     from visualcloze_tpu.transport.sampling import denoise_ode
 
@@ -203,7 +203,7 @@ def make_run(cfg, inp, rope_layout="half"):
                 img_mask=inp["mask"],
             )
 
-        return denoise_ode(model_fn, x, ts, {}, cond=inp["cond"])
+        return denoise_ode(model_fn, x, ts, {}, cond=inp["cond"], method=method)
 
     return run
 
