@@ -21,6 +21,8 @@ import argparse
 import jax
 from PIL import Image
 
+from visualcloze_tpu.transport.sampling import solver_arg
+
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
@@ -40,12 +42,11 @@ def parse_args(argv=None):
     p.add_argument("--upsampling_noise", type=float, default=0.4)
     p.add_argument("--no_upsampling", action="store_true")
     p.add_argument(
-        "--solver", default="euler",
-        choices=["euler", "heun", "ab2", "dopri5", "cached", "cached:2",
-                 "cached:3", "cached:4"],
-        help="ODE method; cached[:K] is the velocity-cache serving mode "
-        "(model evals only every K-th step, linear extrapolation between — "
-        "~K-fold fewer DiT calls; quality is checkpoint-dependent)",
+        "--solver", default="euler", type=solver_arg,
+        help="ODE method: euler, heun, ab2, dopri5, or cached[:K] (K>=1) — "
+        "the velocity-cache serving mode (model evals only every K-th step, "
+        "linear extrapolation between — ~K-fold fewer DiT calls; quality is "
+        "checkpoint-dependent)",
     )
     p.add_argument("-o", "--output", default="example.jpg")
     p.add_argument("--demo", action="store_true", help="tiny random model, no checkpoints")

@@ -18,7 +18,12 @@ import numpy as np
 from PIL import Image
 
 from visualcloze_tpu.data import Graph200KItemProcessor, check_item_graph200k
-from visualcloze_tpu.data.prefix_instruction import test_task_dicts
+from visualcloze_tpu.data.prefix_instruction import (
+    PROMPT_BANKS,
+    set_prompt_bank,
+    test_task_dicts,
+)
+from visualcloze_tpu.transport.sampling import solver_arg
 
 
 def parse_args(argv=None):
@@ -31,7 +36,11 @@ def parse_args(argv=None):
     p.add_argument("--lora_rank", type=int, default=256)
     p.add_argument("--guidance", type=float, default=30.0)
     p.add_argument("--steps", type=int, default=30)
-    p.add_argument("--solver", default="euler")
+    p.add_argument("--solver", default="euler", type=solver_arg)
+    p.add_argument("--prompt_bank", default="reference", choices=list(PROMPT_BANKS),
+                   help="prompt template bank; 'reference' (default) draws the "
+                        "exact strings the released LoRAs were trained on — "
+                        "required for PSNR-vs-reference eval parity")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max_items", type=int, default=0)
     p.add_argument("--demo", action="store_true", help="tiny random model")
@@ -64,6 +73,7 @@ def main(argv=None):
     from visualcloze_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    set_prompt_bank(args.prompt_bank)
     random.seed(args.seed)
     np.random.seed(args.seed)
 
@@ -128,8 +138,9 @@ def main(argv=None):
                     partners = [items[k] for k in passing(row_spec) if k != item_idx]
                     if len(partners) < context_num - 1:
                         continue
-                    # ALL per-sample randomness (partner choice + generation
-                    # seed) is a pure function of (--seed, sample_id): the
+                    # ALL per-sample randomness (partner choice, generation
+                    # seed, template draws) is a pure function of
+                    # (--seed, sample_id): the
                     # sweep reproduces identically across resume (the
                     # collected-id skip consumes no draws), sharding layouts,
                     # and reruns — global-stream draws depended on position
@@ -140,6 +151,7 @@ def main(argv=None):
                     _, image_list, prompts, _, (cols, rows_n) = processor.process_item(
                         records, training_mode=False, image_type_list=list(row_spec),
                         context_num=context_num, group_name="image_grid_graph200k",
+                        rng=srng,
                     )
                     image_list[-1][-1] = None  # mask the target (ref sample.py:130)
                     model.set_grid_size(rows_n, cols)

@@ -23,15 +23,16 @@ import argparse
 
 import jax
 
+from visualcloze_tpu.transport.sampling import solver_arg
+
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model_path", default=None)
     p.add_argument("--model_name", default="flux-dev-fill-lora")
     p.add_argument("--resolution", type=int, default=384)
-    p.add_argument("--solver", default="euler",
-                   choices=["euler", "heun", "ab2", "dopri5", "cached",
-                            "cached:2", "cached:3", "cached:4"])
+    p.add_argument("--solver", default="euler", type=solver_arg,
+                   help="euler / heun / ab2 / dopri5 / cached[:K] (K>=1)")
     p.add_argument("--quantize", default=None,
                    choices=[None, "int8", "w8a8", "w8a8_smooth"])
     p.add_argument("--tp", type=int, default=1)

@@ -7,14 +7,32 @@ type lists, and the Graph200K training (graph200k_task_dicts) and evaluation
 (test_task_dicts) registries.
 
 The registry STRUCTURE (keys, image types, sample weights, task composition)
-mirrors the reference so datasets and checkpoints interoperate; the template
-TEXT is an original bank with the same role (randomized natural-language
-instructions) — swap in a custom bank by editing these lists.
+mirrors the reference so datasets and checkpoints interoperate. Template TEXT
+comes from a selectable **prompt bank**:
+
+- ``"reference"`` (default): the reference's exact template strings,
+  AST-extracted into ``reference_bank.json`` by
+  ``scripts/extract_reference_bank.py``. The released 384/512 LoRAs were
+  trained on exactly these strings, so evaluation (sample.py) and
+  released-weight serving must use them — an original paraphrase feeds the
+  model out-of-distribution prompts and breaks the PSNR-vs-reference
+  protocol. With the same ``random.Random`` state, the draw sequence is
+  bit-identical to the reference's (same list lengths, same choice order).
+- ``"original"``: this repo's own template bank (same variety, original
+  text) — for training new models from scratch on a fresh prompt
+  distribution.
+
+Select globally via ``set_prompt_bank()`` / ``$VC_PROMPT_BANK``, or per call
+via the ``bank=`` keyword on the four template getters.
 """
 
 from __future__ import annotations
 
+import functools
+import json
+import os
 import random
+from pathlib import Path
 
 # ----------------------------- type lists -----------------------------
 
@@ -354,20 +372,61 @@ def _degradation_prompt(deg: str) -> list[str]:
     ]
 
 
-def get_image_prompt(image_type: str, rng=random) -> list[str]:
+# ----------------------------- prompt banks -----------------------------
+
+PROMPT_BANKS = ("reference", "original")
+
+_REFERENCE_BANK_PATH = Path(__file__).with_name("reference_bank.json")
+
+
+@functools.lru_cache(maxsize=1)
+def _reference_bank() -> dict:
+    """The reference's exact template tables (see module docstring)."""
+    with open(_REFERENCE_BANK_PATH) as f:
+        return json.load(f)
+
+
+_active_bank = os.environ.get("VC_PROMPT_BANK", "reference")
+
+
+def set_prompt_bank(name: str) -> None:
+    """Select the global prompt bank ('reference' or 'original')."""
+    global _active_bank
+    if name not in PROMPT_BANKS:
+        raise ValueError(f"unknown prompt bank {name!r}; expected one of {PROMPT_BANKS}")
+    _active_bank = name
+
+
+def get_prompt_bank() -> str:
+    return _active_bank
+
+
+def _resolve_bank(bank: str | None) -> str:
+    bank = bank if bank is not None else _active_bank
+    if bank not in PROMPT_BANKS:
+        raise ValueError(f"unknown prompt bank {bank!r}; expected one of {PROMPT_BANKS}")
+    return bank
+
+
+def get_image_prompt(image_type: str, rng=random, bank: str | None = None) -> list[str]:
     """One randomly chosen prompt per column the type produces (ref :676-681):
     style types yield [style-source prompt, style-target prompt]; every other
     type yields a single-element list. rng: any random.Random-like source."""
     if image_type in style_list:
         return [
-            rng.choice(_IMAGE_PROMPTS["style_source"]),
-            rng.choice(_IMAGE_PROMPTS["style_target"]),
+            rng.choice(get_image_prompt_variants("style_source", bank=bank)),
+            rng.choice(get_image_prompt_variants("style_target", bank=bank)),
         ]
-    return [rng.choice(get_image_prompt_variants(image_type))]
+    return [rng.choice(get_image_prompt_variants(image_type, bank=bank))]
 
 
-def get_image_prompt_variants(image_type: str) -> list[str]:
+def get_image_prompt_variants(image_type: str, bank: str | None = None) -> list[str]:
     """All template variants for one (single-column) image type (ref :54-682)."""
+    if _resolve_bank(bank) == "reference":
+        variants = _reference_bank()["image_prompts"].get(image_type)
+        if variants is None:
+            raise KeyError(f"unknown image type {image_type!r}")
+        return variants
     if image_type in _IMAGE_PROMPTS:
         return _IMAGE_PROMPTS[image_type]
     if image_type in degradation_list:
@@ -375,8 +434,13 @@ def get_image_prompt_variants(image_type: str) -> list[str]:
     raise KeyError(f"unknown image type {image_type!r}")
 
 
-def get_layout_instruction(cols: int, rows: int, rng=random) -> str:
-    """Randomized grid-layout prompt (ref :684-697)."""
+def get_layout_instruction(cols: int, rows: int, rng=random, bank: str | None = None) -> str:
+    """Randomized grid-layout prompt (ref :684-697). In reference-bank mode the
+    rendered string AND the rng consumption (one choice from a 10-list) are
+    bit-identical to the reference's draw."""
+    if _resolve_bank(bank) == "reference":
+        tpl = rng.choice(_reference_bank()["layout_templates"])
+        return tpl.format(rows=rows, cols=cols, total=cols * rows)
     templates = [
         "A grid layout with {rows} rows and {cols} columns, displaying {total} images arranged side by side.",
         "{total} images are organized into a grid of {rows} rows and {cols} columns, evenly spaced.",
@@ -392,8 +456,13 @@ def get_layout_instruction(cols: int, rows: int, rng=random) -> str:
     return rng.choice(templates).format(rows=rows, cols=cols, total=rows * cols)
 
 
-def get_task_instruction(condition_prompt: str, target_prompt: str, rng=random) -> str:
+def get_task_instruction(
+    condition_prompt: str, target_prompt: str, rng=random, bank: str | None = None
+) -> str:
     """Randomized in-context task prompt (ref :700-713)."""
+    if _resolve_bank(bank) == "reference":
+        tpl = rng.choice(_reference_bank()["task_templates"])
+        return tpl.format(condition_prompt=condition_prompt, target_prompt=target_prompt)
     templates = [
         "In each row, a logical procedure derives the right-most image from the left: from <{c}> to <{t}>.",
         "Every row demonstrates the same transformation, mapping <{c}> to <{t}>.",
@@ -409,9 +478,11 @@ def get_task_instruction(condition_prompt: str, target_prompt: str, rng=random) 
     return rng.choice(templates).format(c=condition_prompt, t=target_prompt)
 
 
-def get_content_instruction(rng=random) -> str:
+def get_content_instruction(rng=random, bank: str | None = None) -> str:
     """Randomized content-prompt prefix (ref :716-729). The upsampling stage
     strips exactly these prefixes (pipeline/visualcloze.CONTENT_INSTRUCTIONS)."""
+    if _resolve_bank(bank) == "reference":
+        return rng.choice(_reference_bank()["content_templates"])
     prefixes = [
         "The content of the last image in the final row is: ",
         "The last image of the last row depicts: ",

@@ -122,12 +122,21 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"],
                    help="compute dtype (bf16 on TPU; fp32 for CPU smoke tests "
                         "where bf16 is emulated)")
+    p.add_argument("--prompt_bank", default="reference",
+                   choices=["reference", "original"],
+                   help="prompt template bank: 'reference' (default) trains "
+                        "on the exact template strings of the reference / "
+                        "released LoRAs; 'original' uses this repo's own bank "
+                        "(fresh prompt distribution for from-scratch runs)")
     return p.parse_args(argv)
 
 
 def main(argv=None) -> None:
     args = parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="[%(asctime)s %(name)s] %(message)s")
+    from ..data.prefix_instruction import set_prompt_bank
+
+    set_prompt_bank(args.prompt_bank)
     initialize_distributed()
     from ..utils.cache import enable_compilation_cache
 

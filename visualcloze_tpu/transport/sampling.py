@@ -26,6 +26,20 @@ from .transport import Transport
 
 ModelFn = Callable[..., jnp.ndarray]
 
+_SOLVER_RE = re.compile(r"euler|heun|ab2|dopri5|cached(?::[1-9]\d*)?")
+
+
+def solver_arg(name: str) -> str:
+    """argparse ``type=`` validator for --solver flags: accepts every method
+    denoise_ode/sample_ode implement — euler / heun / ab2 / dopri5 /
+    cached[:K] for any K >= 1 — instead of a hardcoded choices list."""
+    if not _SOLVER_RE.fullmatch(name):
+        raise ValueError(
+            f"unknown solver {name!r}; expected euler, heun, ab2, dopri5, "
+            "or cached[:K] with integer K >= 1"
+        )
+    return name
+
 
 def denoise_ode(
     model_fn: ModelFn,
@@ -119,7 +133,12 @@ def denoise_ode(
         m = re.fullmatch(r"cached(?::(\d+))?", method)
         if m is None:
             raise NotImplementedError(f"ODE method {method!r}")
-        k_every = max(int(m.group(1) or 2), 1)
+        k_every = int(m.group(1) or 2)
+        if k_every < 1:
+            raise NotImplementedError(
+                f"ODE method {method!r}: cached:K requires K >= 1 "
+                "(K=1 is plain euler; K>=2 skips model evals)"
+            )
         n_steps = int(pairs.shape[0])
         fresh = np.zeros((n_steps,), dtype=bool)
         fresh[: min(2, n_steps)] = True  # bootstrap: two real evals before any
