@@ -67,6 +67,10 @@ def parse_args(argv=None):
                    choices=[None, "int8", "w8a8", "w8a8_smooth"],
                    help="int8 DiT: weight-only (int8) or dynamic-activation "
                         "int8 MXU compute (w8a8; single-chip 12B serving)")
+    p.add_argument("--t5_int4", action="store_true",
+                   help="int4 weight-only T5-XXL (encoders + int8 DiT on one "
+                        "16 GB chip); quality-gated — un-gate via "
+                        "scripts/validate_weights.py")
     return p.parse_args(argv)
 
 
@@ -152,6 +156,10 @@ def main(argv=None):
             quantize=args.quantize,
             attn_impl=serving_attn_impl(args, mesh),
         )
+    if args.t5_int4:
+        from visualcloze_tpu.models.quant import quantize_t5_int4
+
+        model.t5.params = quantize_t5_int4(model.t5.params)
     if args.lora:
         from serve import _add_adapters
 

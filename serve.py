@@ -35,6 +35,11 @@ def parse_args(argv=None):
                    help="euler / heun / ab2 / dopri5 / cached[:K] (K>=1)")
     p.add_argument("--quantize", default=None,
                    choices=[None, "int8", "w8a8", "w8a8_smooth"])
+    p.add_argument("--t5_int4", action="store_true",
+                   help="int4 weight-only T5-XXL (~2.4 GB vs 9.5 GB bf16): "
+                        "lets the encoders co-reside with the int8 DiT on one "
+                        "16 GB chip; quality-gated — un-gate via "
+                        "scripts/validate_weights.py")
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--fsdp", type=int, default=1)
     p.add_argument("--cp", type=int, default=1,
@@ -128,6 +133,8 @@ def _build_model(args, mesh, attn_impl, seed=0):
             model.params = {
                 "int8": quantize_flux_int8, "w8a8": quantize_flux_w8a8,
             }[args.quantize](model.params)
+        if args.t5_int4:
+            _quantize_t5(model)
         _add_adapters(model, args)
         return model
     from visualcloze_tpu.pipeline import build_visualcloze
@@ -137,8 +144,16 @@ def _build_model(args, mesh, attn_impl, seed=0):
         resolution=args.resolution, solver=args.solver, mesh=mesh,
         quantize=args.quantize, attn_impl=attn_impl,
     )
+    if args.t5_int4:
+        _quantize_t5(model)
     _add_adapters(model, args)
     return model
+
+
+def _quantize_t5(model):
+    from visualcloze_tpu.models.quant import quantize_t5_int4
+
+    model.t5.params = quantize_t5_int4(model.t5.params)
 
 
 def _warm_server(ps, model, shapes, steps: int):
