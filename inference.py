@@ -71,6 +71,12 @@ def parse_args(argv=None):
                    help="int4 weight-only T5-XXL (encoders + int8 DiT on one "
                         "16 GB chip); quality-gated — un-gate via "
                         "scripts/validate_weights.py")
+    p.add_argument("--aot_dir", default=None,
+                   help="AOT executable cache dir (default $VISUALCLOZE_AOT_DIR "
+                        "or ~/.cache/visualcloze_tpu/aot): repeat invocations "
+                        "load compiled programs instead of recompiling")
+    p.add_argument("--no_aot", action="store_true",
+                   help="disable the executable cache")
     return p.parse_args(argv)
 
 
@@ -160,6 +166,8 @@ def main(argv=None):
         from visualcloze_tpu.models.quant import quantize_t5_int4
 
         model.t5.params = quantize_t5_int4(model.t5.params)
+    if not args.no_aot:
+        model.enable_aot(args.aot_dir)
     if args.lora:
         from serve import _add_adapters
 

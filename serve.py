@@ -69,6 +69,13 @@ def parse_args(argv=None):
     p.add_argument("--no_disaggregate", action="store_true",
                    help="keep encoders and DiT on the default device even "
                         "with 2+ chips")
+    p.add_argument("--aot_dir", default=None,
+                   help="directory for AOT-serialized executables (default "
+                        "$VISUALCLOZE_AOT_DIR or ~/.cache/visualcloze_tpu/aot); "
+                        "a daemon restart then loads compiled programs from "
+                        "disk instead of re-paying XLA compilation")
+    p.add_argument("--no_aot", action="store_true",
+                   help="disable the executable cache (always compile)")
     p.add_argument("--warmup_grids", default="2x3",
                    help="comma list of HxW grids to pre-compile, e.g. 2x3,3x3"
                         " ('' skips warmup)")
@@ -194,6 +201,10 @@ def main(argv=None):
     replicas = []
     for r in range(args.replicas):
         model = _build_model(args, mesh, attn_impl, seed=0)
+        if not args.no_aot:
+            d = model.enable_aot(args.aot_dir)
+            if r == 0:
+                print(f"aot executable cache: {d}")
         # replica r owns chip pair (2r, 2r+1) when the machine has them;
         # otherwise replicas share the default device (still pipelining
         # dispatch — useful for tests and single-chip overlap)

@@ -101,14 +101,35 @@ class VisualClozeModel:
         self.grid_h: int | None = None
         self.grid_w: int | None = None
 
-        self._encode_jit = jax.jit(lambda p, x, k: self._ae_with(p).encode(x, key=k))
-        self._decode_jit = jax.jit(lambda p, z: self._ae_with(p).decode(z))
-        self._denoise_jit = jax.jit(
+        # AotJit == jax.jit until enable_aot() is called (serving daemons):
+        # then each (bucket, adapter-signature) executable is serialized to
+        # disk and a restart loads it instead of recompiling (pipeline/aot.py)
+        from .aot import AotJit
+
+        self._encode_jit = AotJit(
+            lambda p, x, k: self._ae_with(p).encode(x, key=k), tag="vae_encode"
+        )
+        self._decode_jit = AotJit(
+            lambda p, z: self._ae_with(p).decode(z), tag="vae_decode"
+        )
+        self._denoise_jit = AotJit(
             functools.partial(
                 _denoise, self.cfg, attn_impl=self.attn_impl, rope_layout=rope_layout
             ),
             static_argnames=("method",),
+            tag="denoise",
         )
+
+    def enable_aot(self, cache_dir: str | None = None) -> str:
+        """Serve-from-disk executables: persist every compiled denoise/VAE
+        program under cache_dir (default $VISUALCLOZE_AOT_DIR) so the next
+        process start skips XLA compilation. Call before warmup()."""
+        from .aot import default_aot_dir
+
+        cache_dir = cache_dir or default_aot_dir()
+        for j in (self._encode_jit, self._decode_jit, self._denoise_jit):
+            j.enable(cache_dir)
+        return cache_dir
 
     def _ae_with(self, params):
         return AutoEncoder(self.ae.cfg, params)
