@@ -240,3 +240,131 @@ def test_permute_rope_layout_preserves_shardings_and_values():
         s, g, w = leaf(sharded, *path), leaf(got, *path), leaf(want, *path)
         assert g.sharding == s.sharding, path
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+@pytest.mark.parametrize("tp,fsdp", [(8, 1), (4, 2)])
+def test_flagship_width_serving_shards(tp, fsdp):
+    """The real 12B deployment splits: hidden 3072 / 24 heads under tp=8
+    (3 heads + 1152 qkv cols per shard) and tp=4 x fsdp=2, at FULL width
+    with depth reduced to 1+2. The half-rope weight permutation must be
+    numerically transparent under these head splits (VERDICT r3 item #4;
+    mirrored by __graft_entry__.dryrun_multichip's flagship leg)."""
+    import dataclasses
+
+    from visualcloze_tpu.models.weights import permute_rope_layout
+
+    cfg = dataclasses.replace(FluxConfig(), depth=1, depth_single_blocks=2)
+    assert cfg.hidden_size == 3072 and cfg.num_heads == 24
+    params = init_flux(jax.random.PRNGKey(7), cfg, dtype=jnp.float32)
+
+    b, l_img, l_txt = 1, 128, 32
+    rng = np.random.default_rng(7)
+    ids = np.zeros((b, l_img, 3), np.float32)
+    ids[..., 0] = 1
+    ids[..., 1] = (np.arange(l_img) // 16)[None]
+    ids[..., 2] = (np.arange(l_img) % 16)[None]
+    inp = dict(
+        img=jnp.asarray(rng.standard_normal((b, l_img, cfg.in_channels)), jnp.float32),
+        img_ids=jnp.asarray(ids),
+        txt=jnp.asarray(rng.standard_normal((b, l_txt, cfg.context_in_dim)), jnp.float32),
+        txt_ids=jnp.zeros((b, l_txt, 3), jnp.float32),
+        timesteps=jnp.full((b,), 0.5, jnp.float32),
+        y=jnp.asarray(rng.standard_normal((b, cfg.vec_in_dim)), jnp.float32),
+        guidance=jnp.full((b,), 30.0, jnp.float32),
+    )
+    want = np.asarray(jax.jit(lambda p: flux_apply(cfg, p, **inp))(params))
+
+    mesh = create_mesh(fsdp=fsdp, tp=tp)
+    sp = shard_params(permute_rope_layout(params, cfg), mesh)
+    qkv = sp["double_blocks"]["img_attn"]["qkv"]["w"]
+    assert qkv.shape[-1] == 9216  # 3 x 3072 fused qkv at flagship width
+    assert qkv.sharding.shard_shape(qkv.shape)[-1] == 9216 // tp
+    got = np.asarray(
+        jax.jit(lambda p: flux_apply(cfg, p, rope_layout="half", **inp))(sp)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_sdp_zero2_matches_fsdp():
+    """ZeRO-2 (--sdp, ref train.py:160-163 SHARD_GRAD_OP): params replicated
+    over the fsdp axis with optimizer state sharded over it produces the
+    same loss AND the same updated params as ZeRO-3 (--fsdp), while the
+    placements differ as specified."""
+    from visualcloze_tpu.training import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from visualcloze_tpu.transport import create_transport
+
+    params = init_flux(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    mesh = create_mesh(fsdp=8)
+    opt = make_optimizer(lr=1e-3, grad_clip=2.0)
+    transport = create_transport("Linear", "velocity", snr_type="lognorm",
+                                 do_shift=True)
+    step = jax.jit(
+        make_train_step(CFG, transport, opt, "full_model", attn_impl="xla",
+                        compute_dtype=jnp.float32)
+    )
+    rng = np.random.default_rng(0)
+    accum, bs, l_img, l_txt = 1, 8, 16, 8
+    batch = {
+        "x1": jnp.asarray(rng.standard_normal((accum, bs, l_img, CFG.out_channels)), jnp.float32),
+        "cond": jnp.asarray(rng.standard_normal(
+            (accum, bs, l_img, CFG.in_channels - CFG.out_channels)), jnp.float32),
+        "img_ids": jnp.zeros((accum, bs, l_img, 3), jnp.float32),
+        "img_mask": jnp.ones((accum, bs, l_img), jnp.int32),
+        "txt": jnp.asarray(rng.standard_normal((accum, bs, l_txt, CFG.context_in_dim)), jnp.float32),
+        "txt_ids": jnp.zeros((accum, bs, l_txt, 3), jnp.float32),
+        "txt_mask": jnp.ones((accum, bs, l_txt), jnp.int32),
+        "vec": jnp.asarray(rng.standard_normal((accum, bs, CFG.vec_in_dim)), jnp.float32),
+    }
+    data_sh = NamedSharding(mesh, P(None, ("dp", "fsdp")))
+    batch = {k: jax.device_put(v, data_sh) for k, v in batch.items()}
+
+    # ZeRO-3 reference
+    st_f = init_train_state(shard_params(params, mesh), None, opt, "full_model")
+    new_f, m_f = step(st_f, batch, jax.random.PRNGKey(1))
+
+    # ZeRO-2
+    p_s = shard_params(params, mesh, mode="sdp")
+    qkv = p_s["double_blocks"]["img_attn"]["qkv"]["w"]
+    assert qkv.sharding.shard_shape(qkv.shape) == qkv.shape  # replicated
+    st_s = init_train_state(p_s, None, opt, "full_model", opt_mesh=mesh)
+    # optimizer moments for that same weight ARE sharded over fsdp
+    mu_leaves = [
+        leaf for path, leaf in jax.tree_util.tree_leaves_with_path(st_s.opt_state)
+        if leaf.shape == qkv.shape and "qkv" in str(path)
+    ]
+    assert mu_leaves, "adam moments for qkv not found"
+    for leaf in mu_leaves:
+        assert "fsdp" in str(leaf.sharding.spec), leaf.sharding
+        assert leaf.sharding.shard_shape(leaf.shape) != leaf.shape
+    # pinned output placements, exactly as the --sdp trainer jits the step
+    step_s = jax.jit(
+        make_train_step(CFG, transport, opt, "full_model", attn_impl="xla",
+                        compute_dtype=jnp.float32),
+        out_shardings=(
+            jax.tree.map(
+                lambda x: x.sharding
+                if isinstance(getattr(x, "sharding", None), NamedSharding)
+                else NamedSharding(mesh, P()),
+                st_s,
+            ),
+            None,
+        ),
+    )
+    new_s, m_s = step_s(st_s, batch, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(
+        float(m_s["loss"]), float(m_f["loss"]), rtol=1e-5, atol=1e-5
+    )
+    # the reduce-scatter/all-gather ZeRO-2 update equals the ZeRO-3 update
+    np.testing.assert_allclose(
+        np.asarray(new_s.params["double_blocks"]["img_attn"]["qkv"]["w"]),
+        np.asarray(new_f.params["double_blocks"]["img_attn"]["qkv"]["w"]),
+        rtol=1e-5, atol=1e-6,
+    )
+    # and the sdp update keeps its ZeRO-2 placements (params replicated)
+    q2 = new_s.params["double_blocks"]["img_attn"]["qkv"]["w"]
+    assert q2.sharding.shard_shape(q2.shape) == q2.shape

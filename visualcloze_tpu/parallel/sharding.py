@@ -61,11 +61,16 @@ def _divisible(dim: int, mesh: Mesh, axis: str) -> bool:
     return mesh.shape[axis] > 0 and dim % mesh.shape[axis] == 0
 
 
-def flux_param_spec(key_path, leaf, mesh: Mesh) -> P:
+def flux_param_spec(key_path, leaf, mesh: Mesh, no_fsdp: bool = False) -> P:
     """PartitionSpec for one Flux parameter leaf.
 
     Weight layouts: top-level w (in, out); stacked block w (depth, in, out);
     biases (out,) or (depth, out); norm scales 1D/2D.
+
+    no_fsdp: suppress the fsdp dim (tp/ep/pp still apply) — the ZeRO-2
+    ("sdp", ref train.py:160-163 SHARD_GRAD_OP) parameter placement, where
+    params stay replicated over the data axis and only gradients + optimizer
+    state shard (see init_train_state's opt_mesh).
     """
     path = _path_keys(key_path)
     kind = _classify(path)
@@ -73,7 +78,7 @@ def flux_param_spec(key_path, leaf, mesh: Mesh) -> P:
     stacked = path[0] in ("double_blocks", "single_blocks")
     shape = leaf.shape
 
-    fsdp = "fsdp" if mesh.shape["fsdp"] > 1 else None
+    fsdp = "fsdp" if mesh.shape["fsdp"] > 1 and not no_fsdp else None
     tp = "tp" if mesh.shape["tp"] > 1 else None
     # pp (parallel/pipeline.py) owns the single trunk: its stacked leaves
     # shard stage-wise on the depth axis (axis 0); everything else is
@@ -152,17 +157,26 @@ def flux_param_spec(key_path, leaf, mesh: Mesh) -> P:
     return P(*spec)
 
 
-def make_flux_shardings(params: Params, mesh: Mesh) -> Params:
+def make_flux_shardings(params: Params, mesh: Mesh, no_fsdp: bool = False) -> Params:
     """Pytree of NamedShardings matching `params` (also fits LoRA trees:
     lora 'b' factors (r, out) follow column bias rules via leaf names)."""
     return jax.tree_util.tree_map_with_path(
-        lambda kp, leaf: NamedSharding(mesh, flux_param_spec(kp, leaf, mesh)), params
+        lambda kp, leaf: NamedSharding(mesh, flux_param_spec(kp, leaf, mesh, no_fsdp)),
+        params,
     )
 
 
-def shard_params(params: Params, mesh: Mesh) -> Params:
-    """Place (or re-place) a parameter pytree onto the mesh."""
-    shardings = make_flux_shardings(params, mesh)
+def shard_params(params: Params, mesh: Mesh, mode: str = "fsdp") -> Params:
+    """Place (or re-place) a parameter pytree onto the mesh.
+
+    mode="fsdp" (default): ZeRO-3 — weights sharded over the fsdp axis
+    (+ tp/ep/pp rules). mode="sdp": ZeRO-2 — weights REPLICATED over fsdp
+    (tp/ep/pp rules still apply); pair with init_train_state(opt_mesh=mesh)
+    so gradients/optimizer state shard over fsdp (ref train.py:160-163
+    SHARD_GRAD_OP)."""
+    if mode not in ("fsdp", "sdp"):
+        raise ValueError(f"unknown shard_params mode {mode!r}")
+    shardings = make_flux_shardings(params, mesh, no_fsdp=(mode == "sdp"))
     return jax.tree.map(jax.device_put, params, shardings)
 
 

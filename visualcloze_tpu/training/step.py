@@ -111,19 +111,47 @@ def init_train_state(
     training_type: str = "lora",
     use_ema: bool = False,
     mask: Params | None = None,
+    opt_mesh=None,
 ) -> TrainState:
     """mask (the trainable_mask for bias/norm/double_block modes) prunes the
     EMA to the leaves that can ever change — a full-tree EMA for bias
     training would duplicate the entire fp32 base (~48 GB at 12B) in memory
     and in every checkpoint while frozen leaves satisfy ema == param
-    identically."""
+    identically.
+
+    opt_mesh: ZeRO-2 ("sdp") — shard the optimizer moments (and the EMA)
+    over this mesh's fsdp axis even though the params stay replicated
+    (shard_params mode="sdp"); the jitted step then reduce-scatters grads
+    into the sharded moments and all-gathers the updates back
+    (ref train.py:160-163 SHARD_GRAD_OP)."""
     trainable = lora if training_type == "lora" else params
+    opt_state = optimizer.init(trainable)
+    ema = jax.tree.map(jnp.copy, prune_to_mask(trainable, mask)) if use_ema else None
+    if opt_mesh is not None:
+        from jax.sharding import NamedSharding
+
+        from ..parallel.sharding import flux_param_spec
+
+        def place(tree):
+            return jax.tree_util.tree_map_with_path(
+                lambda kp, leaf: jax.device_put(
+                    leaf, NamedSharding(opt_mesh, flux_param_spec(kp, leaf, opt_mesh))
+                ),
+                tree,
+            )
+
+        # opt_state/ema leaf paths end in the same param-tree suffixes
+        # ('...qkv.w', '...lora.a'), so the fsdp/tp spec rules apply directly;
+        # scalar counters get P() (replicated)
+        opt_state = place(opt_state)
+        if ema is not None:
+            ema = place(ema)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         lora=lora,
-        opt_state=optimizer.init(trainable),
-        ema=jax.tree.map(jnp.copy, prune_to_mask(trainable, mask)) if use_ema else None,
+        opt_state=opt_state,
+        ema=ema,
     )
 
 

@@ -91,6 +91,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     # parallelism (mesh axes replace data_parallel fsdp/sdp flags)
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--fsdp", type=int, default=0, help="0 = all remaining devices")
+    p.add_argument("--sdp", action="store_true",
+                   help="ZeRO-2 (ref train.py:160-163 SHARD_GRAD_OP): params "
+                        "REPLICATED over the fsdp axis, gradients + optimizer "
+                        "state (and EMA) sharded over it — lower comms than "
+                        "--fsdp (no per-layer weight all-gather) at higher "
+                        "param memory")
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--cp", type=int, default=1,
                    help="sequence/context parallelism: ring attention over a "
@@ -202,7 +208,7 @@ def main(argv=None) -> None:
         logger.info("LoRA params: %.1fM", lora_param_count(lora) / 1e6)
     logger.info("base params: %.2fB", param_count(params) / 1e9)
 
-    params = shard_params(params, mesh)
+    params = shard_params(params, mesh, mode="sdp" if args.sdp else "fsdp")
     if lora is not None:
         if args.moe_experts > 0:
             lora = shard_params(lora, mesh)  # expert leaves over the ep axis
@@ -217,6 +223,7 @@ def main(argv=None) -> None:
     state = init_train_state(
         params, lora, optimizer, args.training_type, args.use_model_ema,
         mask=mask,
+        opt_mesh=mesh if args.sdp else None,
     )
 
     transport = create_transport(
@@ -241,6 +248,18 @@ def main(argv=None) -> None:
         # chunk kernels on TPU, xla elsewhere — both trainable through the
         # fused ring backward (ops/ring_attention.py)
         attn_impl = RingSpec(mesh=mesh, axis="cp", chunk_impl="auto")
+    # ZeRO-2 must PIN the output state to the input placements: without
+    # out_shardings, XLA propagates the sharded optimizer moments into the
+    # updated params, silently converting --sdp into --fsdp after step 1
+    out_sh = None
+    if args.sdp:
+        from jax.sharding import NamedSharding, PartitionSpec as PSpec
+
+        def _pin(x):  # scalars (state.step) carry single-device shardings
+            s = getattr(x, "sharding", None)
+            return s if isinstance(s, NamedSharding) else NamedSharding(mesh, PSpec())
+
+        out_sh = (jax.tree.map(_pin, state), None)  # metrics: auto
     train_step = jax.jit(
         make_train_step(
             flux_cfg, transport, optimizer, args.training_type,
@@ -253,6 +272,7 @@ def main(argv=None) -> None:
             pp_microbatches=args.pp_microbatches or None,
         ),
         donate_argnums=(0,),
+        out_shardings=out_sh,
     )
 
     # ----- resume -----
