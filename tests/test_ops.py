@@ -517,3 +517,109 @@ def test_caption_dropout_with_cached_embeddings():
     )
     np.testing.assert_array_equal(np.asarray(out2["txt"]), 2.0)
     np.testing.assert_array_equal(np.asarray(out2["vec"]), 3.0)
+
+
+def _interp_patch(fa):
+    import unittest.mock as um
+
+    orig = fa.pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        kwargs.pop("compiler_params", None)
+        return orig(*args, **kwargs)
+
+    return um.patch.object(fa.pl, "pallas_call", interp_call)
+
+
+def test_flash_rope_fused_interpret_matches_xla():
+    """RoPE-fused forward (rotation inside the kernel, half layout) vs
+    XLA rotate-then-attend, with padding bias and a non-block length."""
+    from visualcloze_tpu.ops import flash_attention as fa
+    from visualcloze_tpu.ops.rope import apply_rope_half, embed_nd
+
+    rng = np.random.default_rng(7)
+    for L, with_mask in ((256, True), (192, True), (256, False)):
+        b, h, d = 2, 2, 32
+        q = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+        ids = np.stack(
+            [np.zeros(L), np.arange(L) // 16, np.arange(L) % 16], -1
+        )[None].repeat(b, 0)
+        cos, sin = embed_nd(jnp.asarray(ids, jnp.float32), (8, 12, 12), 10_000)
+        bias = None
+        if with_mask:
+            mask = np.ones((b, L), np.int32)
+            mask[0, L - 40 :] = 0
+            bias = mask_to_bias(jnp.asarray(mask))
+
+        with _interp_patch(fa):
+            got = fa._flash_fwd_rope(q, k, v, bias, cos, sin,
+                                     block_q=128, block_k=128)
+        qr = apply_rope_half(q, cos[:, None], sin[:, None])
+        kr = apply_rope_half(k, cos[:, None], sin[:, None])
+        want = mha_xla(qr, kr, v, bias)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5,
+        )
+
+
+def test_flash_rope_fused_vjp_matches_xla_grads():
+    """flash_mha_rope gradients (w.r.t. UNROTATED q/k and v) vs autodiff
+    through the XLA rotate-then-attend path."""
+    from visualcloze_tpu.ops import flash_attention as fa
+    from visualcloze_tpu.ops.rope import apply_rope_half, embed_nd
+
+    rng = np.random.default_rng(8)
+    b, h, L, d = 1, 2, 256, 32
+    q = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+    ids = np.stack([np.zeros(L), np.arange(L) // 16, np.arange(L) % 16], -1)[None]
+    cos, sin = embed_nd(jnp.asarray(ids, jnp.float32), (8, 12, 12), 10_000)
+    mask = np.ones((b, L), np.int32)
+    mask[0, 230:] = 0
+    bias = mask_to_bias(jnp.asarray(mask))
+    g = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+
+    def ref_fn(q_, k_, v_):
+        qr = apply_rope_half(q_, cos[:, None], sin[:, None])
+        kr = apply_rope_half(k_, cos[:, None], sin[:, None])
+        return mha_xla(qr, kr, v_, bias)
+
+    want_out, ref_vjp = jax.vjp(ref_fn, q, k, v)
+    want_grads = ref_vjp(g)
+
+    with _interp_patch(fa):
+        got_out, fused_vjp = jax.vjp(
+            lambda q_, k_, v_: fa.flash_mha_rope(q_, k_, v_, bias, cos, sin), q, k, v
+        )
+        got_grads = fused_vjp(g)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(want_out),
+                               rtol=2e-5, atol=2e-5)
+    for got_g, want_g, name in zip(got_grads, want_grads, "qkv"):
+        np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_attention_dispatch_fuses_rope_on_pallas_half():
+    """attention() with pe + half layout + pallas routes through the fused
+    kernel and matches the xla path bit-for-bit-ish."""
+    from visualcloze_tpu.ops import flash_attention as fa
+    from visualcloze_tpu.ops.rope import embed_nd
+
+    rng = np.random.default_rng(9)
+    b, h, L, d = 1, 2, 256, 32
+    q = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+    ids = np.stack([np.zeros(L), np.arange(L) // 16, np.arange(L) % 16], -1)[None]
+    pe = embed_nd(jnp.asarray(ids, jnp.float32), (8, 12, 12), 10_000)
+    mask = jnp.asarray(np.ones((b, L), np.int32))
+
+    want = attention(q, k, v, pe, mask=mask, impl="xla", rope_layout="half")
+    with _interp_patch(fa):
+        got = attention(q, k, v, pe, mask=mask, impl="pallas", rope_layout="half")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)

@@ -259,7 +259,8 @@ def double_block(
         q = jnp.concatenate([txt_q, img_q], axis=2)
         k = jnp.concatenate([txt_k, img_k], axis=2)
         v = jnp.concatenate([txt_v, img_v], axis=2)
-        q, k = rope_qk(q, k, pe, rope_layout)
+        if seg is not None:  # remat path: rotated q/k double as kernel residuals
+            q, k = rope_qk(q, k, pe, rope_layout)
         return q, k, v, (img_mod1, img_mod2, txt_mod1, txt_mod2)
 
     def post(img, txt, attn, mods):
@@ -290,7 +291,8 @@ def double_block(
     if seg is not None:
         pre, post = seg(pre), seg(post)
     q, k, v, mods = pre(img, txt)
-    attn = attention(q, k, v, None, mask=attn_mask, impl=attn_impl)
+    attn = attention(q, k, v, None if seg is not None else pe, mask=attn_mask,
+                     impl=attn_impl, rope_layout=rope_layout)
     out = post(img, txt, attn, mods)
     if collect_stats:
         return out, stats
@@ -331,7 +333,8 @@ def single_block(
         h = linear(p["linear1"], x_mod, l.get("linear1"), lora_scale)
         q, k, v = _split_heads(h[..., : 3 * cfg.hidden_size], cfg.num_heads)
         q, k = qk_norm(p["norm"], q, k, v)
-        q, k = rope_qk(q, k, pe, rope_layout)
+        if seg is not None:  # remat path: rotated q/k double as kernel residuals
+            q, k = rope_qk(q, k, pe, rope_layout)
         return q, k, v, h, mod
 
     def post(x, attn, h, mod):
@@ -345,7 +348,8 @@ def single_block(
     if seg is not None:
         pre, post = seg(pre), seg(post)
     q, k, v, h, mod = pre(x)
-    attn = attention(q, k, v, None, mask=attn_mask, impl=attn_impl)
+    attn = attention(q, k, v, None if seg is not None else pe, mask=attn_mask,
+                     impl=attn_impl, rope_layout=rope_layout)
     out = post(x, attn, h, mod)
     if collect_stats:
         return out, stats

@@ -151,10 +151,27 @@ def attention(
       mask: (B, L) int {1=real, 0=pad} over the key/query sequence.
     Returns:
       (B, L, H*D) in q.dtype; padded query positions zeroed.
+
+    Fast path: with the pallas kernel and the half rope layout, the rotation
+    fuses INTO the kernel (flash_mha_rope) — unrotated q/k stream straight
+    from the qkv projection instead of round-tripping a rotated copy through
+    HBM (~147 MB/step at the flagship serving shape, docs/PROFILE.md).
     """
-    q, k = rope_qk(q, k, pe, rope_layout)
-    bias = mask_to_bias(mask)
-    x = mha(q, k, v, bias=bias, impl=impl)
+    resolved = impl
+    if resolved == "auto":
+        resolved = "pallas" if _on_tpu() else "xla"
+    if (
+        pe is not None
+        and resolved == "pallas"
+        and rope_layout == "half"
+        and q.shape[2] == k.shape[2]
+    ):
+        from .flash_attention import flash_mha_rope
+
+        x = flash_mha_rope(q, k, v, mask_to_bias(mask), pe[0], pe[1])
+    else:
+        q, k = rope_qk(q, k, pe, rope_layout)
+        x = mha(q, k, v, bias=mask_to_bias(mask), impl=impl)
     b, h, l, d = x.shape
     x = jnp.swapaxes(x, 1, 2).reshape(b, l, h * d)
     if mask is not None:

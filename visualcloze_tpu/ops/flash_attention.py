@@ -118,6 +118,218 @@ def _flash_kernel_nobias(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, s
                   fastmax=fastmax)
 
 
+# ----------------------------- RoPE-fused forward -----------------------------
+#
+# The serving forward used to rotate q/k in XLA before the kernel — a full
+# HBM write+read of both tensors per block (~147 MB/step at the flagship
+# shape, docs/PROFILE.md "the only meaningful single-chip headroom left"),
+# because the rotation cannot fuse INTO an opaque pallas_call. Here the
+# rotation runs inside the kernel on the small (BQ, D)/(BK, D) tiles instead:
+# unrotated q/k stream straight from the qkv projection, and the only extra
+# HBM traffic is the (L, D) fp32 tables (shared across heads).
+#
+# Layout: the "half" (de-interleaved) rope layout splits each head's channels
+# into [even | odd] halves, so with full-width tables
+#   cf = [cos | cos],  sf = [-sin | sin]
+# the rotation is  rot(x) = cf * x + sf * swap_halves(x)  — two FMAs and one
+# lane-swap per tile, no sub-lane interleaves (see ops/rope.apply_rope_half).
+
+
+def _rot_half(x32, cf, sf):
+    d2 = x32.shape[-1] // 2
+    swapped = jnp.concatenate([x32[:, d2:], x32[:, :d2]], axis=-1)
+    return cf * x32 + sf * swapped
+
+
+def _flash_kernel_rope(q_ref, k_ref, v_ref, bias_ref, cq_ref, sq_ref, ck_ref, sk_ref,
+                       o_ref, m_ref, l_ref, acc_ref, *, scale):
+    """_flash_kernel with the half-layout RoPE rotation fused on the q/k
+    blocks (tables pre-expanded to full width by _expand_rope_tables)."""
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q32 = _rot_half(q_ref[0, 0].astype(jnp.float32), cq_ref[0], sq_ref[0])
+    q = (q32 * (scale * LOG2E)).astype(q_ref.dtype)  # (BQ, D)
+    k = _rot_half(k_ref[0, 0].astype(jnp.float32), ck_ref[0], sk_ref[0]).astype(
+        k_ref.dtype
+    )  # (BK, D)
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if bias_ref is not None:
+        s = s + bias_ref[0, 0][None, :]
+
+    m_prev = m_ref[:, 0]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(s - m_new[:, None])
+    l_new = l_ref[:, 0] * alpha + jnp.sum(p, axis=-1)
+    acc_ref[:] = acc_ref[:] * alpha[:, None] + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:] = jnp.broadcast_to(m_new[:, None], m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new[:, None], l_ref.shape)
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        l = l_ref[:, 0]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_ref[:] / l[:, None]).astype(o_ref.dtype)
+
+
+def _flash_kernel_rope_nobias(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
+                              o_ref, m_ref, l_ref, acc_ref, *, scale):
+    _flash_kernel_rope(q_ref, k_ref, v_ref, None, cq_ref, sq_ref, ck_ref, sk_ref,
+                       o_ref, m_ref, l_ref, acc_ref, scale=scale)
+
+
+def _expand_rope_tables(cos, sin, lq, lk, lq_pad, lk_pad):
+    """(B, L, D/2) half-layout tables -> full-width fp32 (B, L_p, D):
+    cf = [cos|cos], sf = [-sin|sin]; padded rows rotate by identity-ish zeros
+    (their outputs are masked/sliced anyway)."""
+    cf = jnp.concatenate([cos, cos], axis=-1).astype(jnp.float32)
+    sf = jnp.concatenate([-sin, sin], axis=-1).astype(jnp.float32)
+    pad = max(lq_pad, lk_pad)
+    if pad:
+        cf = jnp.pad(cf, ((0, 0), (0, pad), (0, 0)))
+        sf = jnp.pad(sf, ((0, 0), (0, pad), (0, 0)))
+    return cf[:, : lq + lq_pad], cf[:, : lk + lk_pad], sf[:, : lq + lq_pad], sf[:, : lk + lk_pad]
+
+
+def _flash_fwd_rope(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray | None,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jnp.ndarray:
+    """_flash_fwd with the RoPE rotation fused into the kernel. q/k arrive
+    UNROTATED in the half layout; cos/sin are the (B, L, D/2) embed_nd
+    tables (one table for the joint sequence: q and k share positions)."""
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    bq = _choose_block(lq, block_q)
+    bk = _choose_block(lk, block_k)
+    lq_pad = (-lq) % bq
+    lk_pad = (-lk) % bk
+    if lq_pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad), (0, 0)))
+    if lk_pad and bias is None:
+        bias = jnp.zeros((b, lk), dtype=jnp.float32)
+    if lk_pad:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, lk_pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, lk_pad), (0, 0)))
+        bias = jnp.pad(
+            bias.astype(jnp.float32), ((0, 0), (0, lk_pad)), constant_values=NEG_INF
+        )
+    cq, ck, sq, sk = _expand_rope_tables(cos, sin, lq, lk, lq_pad, lk_pad)
+    lq_p, lk_p = lq + lq_pad, lk + lk_pad
+    grid = (b, h, lq_p // bq, lk_p // bk)
+
+    q_spec = pl.BlockSpec((1, 1, bq, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0))
+    kv_spec = pl.BlockSpec((1, 1, bk, d), lambda b_, h_, iq, ik: (b_, h_, ik, 0))
+    tq_spec = pl.BlockSpec((1, bq, d), lambda b_, h_, iq, ik: (b_, iq, 0))
+    tk_spec = pl.BlockSpec((1, bk, d), lambda b_, h_, iq, ik: (b_, ik, 0))
+    in_specs = [q_spec, kv_spec, kv_spec]
+    operands = [q, k, v]
+    if bias is not None:
+        bias = (bias.astype(jnp.float32) * LOG2E)[:, None, :]
+        in_specs.append(pl.BlockSpec((1, 1, bk), lambda b_, h_, iq, ik: (b_, 0, ik)))
+        operands.append(bias)
+        kernel = functools.partial(_flash_kernel_rope, scale=d ** -0.5)
+    else:
+        kernel = functools.partial(_flash_kernel_rope_nobias, scale=d ** -0.5)
+    in_specs += [tq_spec, tq_spec, tk_spec, tk_spec]
+    operands += [cq, sq, ck, sk]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, bq, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * lq_p * lk_p * d,
+            bytes_accessed=(2 * b * h * lq_p * d + 2 * b * h * lk_p * d) * q.dtype.itemsize,
+            transcendentals=b * h * lq_p * lk_p,
+        ),
+    )(*operands)
+    return out[:, :, :lq] if lq_pad else out
+
+
+@jax.custom_vjp
+def flash_mha_rope(q, k, v, bias, cos, sin):
+    """RoPE-fused flash attention (serving fast path).
+
+    q, k, v: (B, H, L, D) UNROTATED, half rope layout; bias: (B, L) fp32 or
+    None; cos/sin: (B, L, D/2) embed_nd tables. Equivalent to
+    flash_mha(apply_rope_half(q), apply_rope_half(k), v, bias) with the
+    rotation running inside the kernel (no rotated-q/k HBM round trip)."""
+    assert q.shape[2] == k.shape[2], "rope fusion expects joint self-attention"
+    return _flash_fwd_rope(q, k, v, bias, cos, sin)
+
+
+def _rot_xla(x, cos, sin, invert=False):
+    """apply_rope_half on (B, H, L, D) with (B, L, D/2) tables."""
+    from .rope import apply_rope_half
+
+    s = -sin if invert else sin
+    return apply_rope_half(x, cos[:, None], s[:, None])
+
+
+def _flash_mha_rope_fwd(q, k, v, bias, cos, sin):
+    # Training path (under jax.grad): rotate in XLA and reuse the lse-saving
+    # forward — the rotated q/k double as the backward's residuals, which is
+    # exactly what the two-segment remat policy wants (models/layers.py).
+    qr = _rot_xla(q, cos, sin)
+    kr = _rot_xla(k, cos, sin)
+    lq = q.shape[2]
+    o, lse, (qp, kp, vp, biasp, lq_pad, lk_pad) = _flash_fwd_lse(qr, kr, v, bias)
+    out = o[:, :, :lq] if lq_pad else o
+    res = (qp, kp, vp, biasp, o, lse[..., :1], lq_pad, lk_pad, cos, sin)
+    return out, res
+
+
+def _flash_mha_rope_bwd(res, g):
+    qp, kp, vp, biasp, o, lse, lq_pad, lk_pad, cos, sin = res
+    lse = jnp.broadcast_to(lse, (*lse.shape[:3], 128))
+    do = jnp.pad(g, ((0, 0), (0, 0), (0, lq_pad), (0, 0))) if lq_pad else g
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True)
+    delta = jnp.broadcast_to(delta, (*delta.shape[:3], 128))
+    dq_r, dk_r, dv = _pallas_bwd_padded(qp, kp, vp, biasp, do, lse, delta)
+    lq = qp.shape[2] - lq_pad
+    lk = kp.shape[2] - lk_pad
+    dq_r = dq_r[:, :, :lq] if lq_pad else dq_r
+    dk_r = dk_r[:, :, :lk] if lk_pad else dk_r
+    dv = dv[:, :, :lk] if lk_pad else dv
+    # d/d(unrotated) = R^T d/d(rotated) — the inverse rotation (sin -> -sin)
+    dq = _rot_xla(dq_r, cos, sin, invert=True)
+    dk = _rot_xla(dk_r, cos, sin, invert=True)
+    return dq, dk, dv, None, jnp.zeros_like(cos), jnp.zeros_like(sin)
+
+
+flash_mha_rope.defvjp(_flash_mha_rope_fwd, _flash_mha_rope_bwd)
+
+
 def _pick_block(length: int, preferred: int) -> int:
     """Largest power-of-two block (>=128, <=preferred) dividing `length`,
     assuming length is already a multiple of 128."""
