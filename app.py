@@ -114,7 +114,14 @@ def main():
         ) from e
 
     model = build_model(args)
+    demo = build_ui(gr, model)
+    demo.launch(server_port=args.port)
 
+
+def build_ui(gr, model):
+    """Construct the gr.Blocks graph (no launch) — factored out of main()
+    so the real-gradio smoke test (tests/test_app_ui.py, skip-if-no-gradio)
+    and the mocked-UI test build the SAME graph."""
     with gr.Blocks(title="VisualCloze TPU") as demo:
         gr.Markdown("# VisualCloze (TPU-native)\nVisual in-context learning: "
                     "fill the grid with demonstration rows, leave the target cell empty.")
@@ -183,7 +190,7 @@ def main():
             output,
         )
 
-    demo.launch(server_port=args.port)
+    return demo
 
 
 if __name__ == "__main__":

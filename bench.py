@@ -328,7 +328,7 @@ def bench_bf16_slice(ts) -> dict:
     return {"extrapolated": extrap, "mfu": mfu, "full_flops": full_fl}
 
 
-BENCH_AOT_SCHEMA = "bench-v1"  # bump when make_run/make_inputs semantics change
+BENCH_AOT_SCHEMA = "bench-v2"  # bump when make_run/make_inputs semantics change
 
 
 def _aot_get(tag: str, sig_args, make, aot_dir: str):
@@ -394,7 +394,13 @@ def bench_int8_full(ts, ts2) -> dict | None:
         host = load_params_dir(ckpt)
 
         inp = make_inputs(cfg)
-        run = make_run(cfg, inp, rope_layout="interleaved")
+        # production serving layout: VisualClozeModel permutes every tree
+        # (incl. int8) to the "half" rope layout at load time, which lets the
+        # kernel fuse the RoPE rotation (ops/flash_attention.flash_mha_rope —
+        # no rotated-q/k HBM round trip). The synthetic random checkpoint is
+        # measured as-is: the load-time permutation is a host op outside the
+        # step, and random weights carry no semantics to permute.
+        run = make_run(cfg, inp, rope_layout="half")
         print("B) FULL 12B int8: compiling both buckets + loading from disk...",
               file=sys.stderr)
         t_load0 = time.perf_counter()
@@ -402,31 +408,47 @@ def bench_int8_full(ts, ts2) -> dict | None:
         abstract1 = jax.tree.map(
             lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), (host, x1, ts1_h)
         )
-        compiled, path1 = _aot_get(
-            "stage1_int8", (host, x1, ts1_h),
-            lambda: jax.jit(run).lower(*abstract1).compile(), aot_dir,
-        )
-        fmts = compiled.input_formats[0]
-
         inp2 = make_inputs(cfg, l_img=L2)
-        run2 = make_run(cfg, inp2, rope_layout="interleaved")
+        run2 = make_run(cfg, inp2, rope_layout="half")
         x2, ts2_h = np.asarray(inp2["x"]), np.asarray(ts2)
         abstract2 = jax.tree.map(
             lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), (host, x2, ts2_h)
         )
-        compiled2, path2 = _aot_get(
-            "stage2_int8", (host, x2, ts2_h),
-            lambda: jax.jit(run2, in_shardings=(fmts[0], None, None))
-            .lower(*abstract2)
-            .compile(), aot_dir,
-        )
-        fmts2 = compiled2.input_formats[0]
+        # Disk-loaded executables are validated by the warmup _sync: a stale
+        # blob can deserialize fine yet dispatch-fail ("Function <fusion> not
+        # found" — pipeline/aot.py docstring), so on the first failure the
+        # entries are wiped and both buckets recompile fresh.
+        for attempt in (0, 1):
+            compiled, path1 = _aot_get(
+                "stage1_int8", (host, x1, ts1_h),
+                lambda: jax.jit(run).lower(*abstract1).compile(), aot_dir,
+            )
+            fmts = compiled.input_formats[0]
+            compiled2, path2 = _aot_get(
+                "stage2_int8", (host, x2, ts2_h),
+                lambda: jax.jit(run2, in_shardings=(fmts[0], None, None))
+                .lower(*abstract2)
+                .compile(), aot_dir,
+            )
+            fmts2 = compiled2.input_formats[0]
 
-        dev_params = device_put_with_formats(host, fmts[0])
-        dev_x, dev_ts = (device_put_with_formats(a, f) for a, f in zip((x1, ts1_h), fmts[1:]))
-        dev_x2, dev_ts2 = (device_put_with_formats(a, f) for a, f in zip((x2, ts2_h), fmts2[1:]))
-        _sync(compiled(dev_params, dev_x, dev_ts))
-        _sync(compiled2(dev_params, dev_x2, dev_ts2))
+            dev_params = device_put_with_formats(host, fmts[0])
+            dev_x, dev_ts = (device_put_with_formats(a, f) for a, f in zip((x1, ts1_h), fmts[1:]))
+            dev_x2, dev_ts2 = (device_put_with_formats(a, f) for a, f in zip((x2, ts2_h), fmts2[1:]))
+            try:
+                _sync(compiled(dev_params, dev_x, dev_ts))
+                _sync(compiled2(dev_params, dev_x2, dev_ts2))
+                break
+            except jax.errors.JaxRuntimeError:
+                if attempt:
+                    raise
+                print("B) aot warmup dispatch failed; wiping entries and "
+                      "recompiling fresh", file=sys.stderr)
+                for p in (path1, path2):
+                    try:
+                        os.unlink(p)
+                    except OSError:
+                        pass
         t_load = time.perf_counter() - t_load0
         p50 = _time3(compiled, dev_params, dev_x, dev_ts)
         p50_2 = _time3(compiled2, dev_params, dev_x2, dev_ts2)
@@ -450,20 +472,30 @@ def bench_int8_full(ts, ts2) -> dict | None:
         def as_w8a8(fn):
             return lambda p, x, t: fn(mark_w8a8(p), x, t)
 
-        compiled_w8, _ = _aot_get(
+        compiled_w8, path1_w8 = _aot_get(
             "stage1_w8a8", (host, x1, ts1_h),
             lambda: jax.jit(as_w8a8(run), in_shardings=(fmts[0], None, None))
             .lower(*abstract1)
             .compile(), aot_dir,
         )
-        compiled2_w8, _ = _aot_get(
+        compiled2_w8, path2_w8 = _aot_get(
             "stage2_w8a8", (host, x2, ts2_h),
             lambda: jax.jit(as_w8a8(run2), in_shardings=(fmts[0], None, None))
             .lower(*abstract2)
             .compile(), aot_dir,
         )
-        _sync(compiled_w8(dev_params, dev_x, dev_ts))
-        _sync(compiled2_w8(dev_params, dev_x2, dev_ts2))
+        try:
+            _sync(compiled_w8(dev_params, dev_x, dev_ts))
+            _sync(compiled2_w8(dev_params, dev_x2, dev_ts2))
+        except jax.errors.JaxRuntimeError:
+            # stale disk entries (see weight-only warmup) — wipe so the
+            # next run recompiles; this leg degrades gracefully today
+            for p in (path1_w8, path2_w8):
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
+            raise
         p50_w8 = _time3(compiled_w8, dev_params, dev_x, dev_ts)
         p50_2_w8 = _time3(compiled2_w8, dev_params, dev_x2, dev_ts2)
     except Exception as e:  # pragma: no cover - hardware dependent

@@ -28,6 +28,19 @@ resulting warm-restart.
 Safety: executables are valid only for the exact backend (jax version,
 platform, device kind, device count) and input layout — all part of the key;
 a failed deserialize falls back to a fresh compile and overwrites the entry.
+Deserialize success is NOT sufficient on the CPU backend: XLA:CPU AOT blobs
+embed LLVM target features (including synthetic tuning flags like
++prefer-no-scatter that no host ever reports), and a mismatched reload
+surfaces only at DISPATCH time as "Function <fusion> not found (type id: 1)"
+— observed on this very host reloading its own entries across processes. So
+the first call of a disk-loaded executable is validated (block_until_ready
+inside try/except) and falls back to a fresh compile on any runtime error.
+Worse, a bad CPU reload can poison LATER loads in the same process (the
+fusion-function registry interaction is order-dependent), so on the cpu
+backend enable() is a no-op unless VISUALCLOZE_AOT_FORCE=1 — CPU warm
+restarts ride the persistent HLO cache (utils/cache.py) instead. TPU
+executables target the accelerator, not host LLVM codegen, and reload
+cleanly.
 """
 
 from __future__ import annotations
@@ -53,11 +66,18 @@ def default_aot_dir() -> str:
 
 
 def backend_fingerprint() -> str:
-    """Everything a serialized executable is specific to."""
+    """Everything a serialized executable is specific to. For the CPU
+    backend that includes the HOST ISA: XLA:CPU executables embed machine
+    code compiled for the compiling host's CPU features, and running one on
+    a leaner host dispatch-fails ("Function ... not found") — a runtime
+    error the deserialize-time fallback cannot catch (utils/cache.py has
+    the same keying for the HLO cache)."""
+    from ..utils.cache import _host_fingerprint
+
     devs = jax.devices()
     return "|".join([
         jax.__version__,
-        jax.default_backend(),
+        _host_fingerprint(jax.default_backend()),
         getattr(devs[0], "device_kind", "?"),
         str(len(devs)),
     ])
@@ -127,6 +147,16 @@ class AotJit:
         self.stats = {"compiles": 0, "disk_loads": 0, "hits": 0}
 
     def enable(self, cache_dir: str) -> "AotJit":
+        if jax.default_backend() == "cpu" and not os.environ.get(
+            "VISUALCLOZE_AOT_FORCE"
+        ):
+            # XLA:CPU AOT reload is unreliable in-process AND cross-process
+            # (module docstring); CPU restarts are served by the persistent
+            # HLO cache (utils/cache.py) instead. VISUALCLOZE_AOT_FORCE=1
+            # opts back in (tests exercising the disk path).
+            logger.info("aot: disk persistence disabled on the cpu backend "
+                        "(XLA:CPU AOT loader unreliable); jit-only")
+            return self
         os.makedirs(cache_dir, exist_ok=True)
         self._dir = cache_dir
         return self
@@ -141,30 +171,36 @@ class AotJit:
             )
         key = call_signature(self.tag, args, kwargs)
         ex = self._execs.get(key)
-        if ex is None:
-            path = os.path.join(self._dir, f"{self.tag}-{key}.jaxexec")
-            if os.path.exists(path):
-                try:
-                    t0 = time.perf_counter()
-                    ex = load_executable(path)
-                    self.stats["disk_loads"] += 1
-                    logger.info("aot: loaded %s in %.1fs (skipped compile)",
-                                os.path.basename(path), time.perf_counter() - t0)
-                except Exception as e:  # stale/corrupt/foreign-topology blob
-                    logger.warning("aot: reload of %s failed (%s); recompiling",
-                                   path, e)
-                    ex = None
-            if ex is None:
-                t0 = time.perf_counter()
-                ex = self._jit.lower(*args, **kwargs).compile()
-                self.stats["compiles"] += 1
-                try:
-                    save_executable(ex, path)
-                    logger.info("aot: compiled+saved %s (%.1fs)",
-                                os.path.basename(path), time.perf_counter() - t0)
-                except Exception as e:  # serialization unsupported -> still serve
-                    logger.warning("aot: could not persist %s (%s)", path, e)
-            self._execs[key] = ex
-        else:
+        if ex is not None:
             self.stats["hits"] += 1
+            return ex(*args)
+        path = os.path.join(self._dir, f"{self.tag}-{key}.jaxexec")
+        if os.path.exists(path):
+            # Deserialize AND validate by running this very call: XLA:CPU
+            # AOT reloads can deserialize fine yet dispatch-fail ("Function
+            # <fusion> not found") — see module docstring. One
+            # block_until_ready per (signature, process) is the cost.
+            try:
+                t0 = time.perf_counter()
+                ex = load_executable(path)
+                out = ex(*args)
+                jax.block_until_ready(out)
+                self.stats["disk_loads"] += 1
+                logger.info("aot: loaded %s in %.1fs (skipped compile)",
+                            os.path.basename(path), time.perf_counter() - t0)
+                self._execs[key] = ex
+                return out
+            except Exception as e:  # stale/corrupt/foreign-host/lossy blob
+                logger.warning("aot: reload of %s failed (%s); recompiling",
+                               path, e)
+        t0 = time.perf_counter()
+        ex = self._jit.lower(*args, **kwargs).compile()
+        self.stats["compiles"] += 1
+        try:
+            save_executable(ex, path)
+            logger.info("aot: compiled+saved %s (%.1fs)",
+                        os.path.basename(path), time.perf_counter() - t0)
+        except Exception as e:  # serialization unsupported -> still serve
+            logger.warning("aot: could not persist %s (%s)", path, e)
+        self._execs[key] = ex
         return ex(*args)

@@ -7,7 +7,28 @@ warm restarts instant. Called by the CLIs; controlled via VISUALCLOZE_CACHE_DIR
 
 from __future__ import annotations
 
+import hashlib
 import os
+
+
+def _host_fingerprint(platform: str) -> str:
+    """Cache namespace per (platform, host ISA). XLA:CPU persistent-cache
+    entries embed AOT machine-code compiled for the *compiling* host's CPU
+    features, and XLA does not key on them — an entry written on an
+    AVX512-richer host dispatch-fails on a leaner one ("Function
+    slice_bitcast_fusion not found"). TPU/GPU executables target the
+    accelerator, so the platform name alone suffices there."""
+    if platform != "cpu":
+        return platform
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return "cpu-" + hashlib.sha256(feats.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    return "cpu-unknown"
 
 
 def enable_compilation_cache(path: str | None = None) -> str:
@@ -17,6 +38,7 @@ def enable_compilation_cache(path: str | None = None) -> str:
         "VISUALCLOZE_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "visualcloze_tpu", "xla"),
     )
+    path = os.path.join(path, _host_fingerprint(jax.default_backend()))
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
