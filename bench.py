@@ -519,22 +519,27 @@ def bench_int8_full(ts, ts2) -> dict | None:
     # start — deserialize both executables, stream the 12 GB leaf store into
     # its device layout, run the first query on each bucket. (Process start
     # itself — python + jax import + backend init — adds ~10-20 s.)
-    t_warm = None
+    t_warm = t_deser = t_weights = None
     try:
         t0 = time.perf_counter()
         ex1 = load_executable(path1)
         ex2 = load_executable(path2)
+        t_deser = time.perf_counter() - t0
         host_w = load_params_dir(ckpt)
         wf1, wf2 = ex1.input_formats[0], ex2.input_formats[0]
         dev_w = device_put_with_formats(host_w, wf1[0])
+        t_weights = time.perf_counter() - t0 - t_deser
         wx1, wts1 = (device_put_with_formats(a, f) for a, f in zip((x1, ts1_h), wf1[1:]))
         wx2, wts2 = (device_put_with_formats(a, f) for a, f in zip((x2, ts2_h), wf2[1:]))
         _sync(ex1(dev_w, wx1, wts1))
         _sync(ex2(dev_w, wx2, wts2))
         t_warm = time.perf_counter() - t0
-        print(f"B) warm-restart (deserialize executables + stream weights + "
-              f"first stage-1+stage-2 query): {t_warm:.0f}s "
-              f"(was compile+load {t_load:.0f}s this cold run)", file=sys.stderr)
+        print(f"B) warm-restart (restart cost after process start): {t_warm:.0f}s"
+              f" = deserialize executables {t_deser:.1f}s + stream 12GB weights "
+              f"{t_weights:.0f}s (host->HBM link-bound) + first "
+              f"stage-1+stage-2 queries {t_warm - t_deser - t_weights:.0f}s; "
+              f"XLA compile eliminated (was in compile+load {t_load:.0f}s this "
+              f"cold run)", file=sys.stderr)
         del ex1, ex2, host_w, dev_w, wx1, wts1, wx2, wts2
         _free()
     except Exception as e:  # pragma: no cover - hardware dependent
@@ -542,7 +547,8 @@ def bench_int8_full(ts, ts2) -> dict | None:
               f"({type(e).__name__}: {e})", file=sys.stderr)
 
     return {"den1": p50, "den2": p50_2, "den1_w8": p50_w8, "den2_w8": p50_2_w8,
-            "warm_restart": t_warm, "cold_compile_load": t_load}
+            "warm_restart": t_warm, "warm_deser": t_deser,
+            "warm_weights": t_weights, "cold_compile_load": t_load}
 
 
 def main() -> None:
@@ -587,7 +593,12 @@ def main() -> None:
         den1_w8, den2_w8 = int8_res["den1_w8"], int8_res["den2_w8"]
         kind = "measured"
         if int8_res.get("warm_restart") is not None:
-            w8_note += f"; warm-restart {round(int8_res['warm_restart'], 1)}s"
+            w8_note += (
+                f"; warm-restart {round(int8_res['warm_restart'], 1)}s "
+                f"(executables {round(int8_res['warm_deser'], 1)}s — XLA "
+                f"compile eliminated; 12GB weight stream "
+                f"{round(int8_res['warm_weights'], 1)}s host->HBM link-bound)"
+            )
         if den1_w8 is not None:
             e2e_w8 = (t_text + t_vae + den1_w8) + (t_text + 2 * t_enc2 + den2_w8 + t_dec2)
             w8_note += (f"; w8a8 opt-in {round(e2e_w8, 3)}s "
