@@ -415,6 +415,11 @@ def gate_fast_modes(model, spec: dict, seed: int, gates: list[Gate], ci: bool) -
             "serve.py/inference.py --t5_int4 (T5 9.5 GB -> 2.4 GB; single-chip encoders+DiT)")
     if hasattr(run_int4_t5, "rel"):
         gates[-1].value += f"; T5 emb rel err {run_int4_t5.rel:.4f} (<= {T5_REL_ERR_MAX})"
+        # Both criteria gate the flip: image PSNR (relgate above) AND the
+        # embedding relative error the threshold string advertises.
+        if gates[-1].status == "PASS" and run_int4_t5.rel > T5_REL_ERR_MAX:
+            gates[-1].status = "FAIL"
+        gates[-1].threshold += f" AND T5 emb rel err <= {T5_REL_ERR_MAX}"
 
 
 # ----------------------------- stage 5: report -----------------------------

@@ -109,6 +109,19 @@ def test_signature_stability():
     assert call_signature("t", (p2, x), {"m": "euler"}) != a
 
 
+def test_signature_keyed_on_code_version(monkeypatch):
+    """A repo update must invalidate cached executables: same shapes + same
+    backend but different package source would otherwise keep serving the
+    program compiled from the OLD code after a daemon restart."""
+    import visualcloze_tpu.pipeline.aot as aot
+
+    p, x = make_args()
+    a = call_signature("t", (p, x), {})
+    assert aot.code_fingerprint() in aot.backend_fingerprint()
+    monkeypatch.setattr(aot, "code_fingerprint", lambda: "deadbeefdeadbeef")
+    assert call_signature("t", (p, x), {}) != a
+
+
 def test_pipeline_restart_skips_denoise_compile(tmp_path):
     """End-to-end: two fresh tiny pipelines, same AOT dir — the second one's
     denoise/VAE programs come from disk and the images are identical."""

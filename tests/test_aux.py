@@ -214,3 +214,44 @@ def test_prepare_control_with_native_depth_tower(tiny_stack):
     L = (H // 16) * (W // 16)
     assert out["img_cond"].shape == (1, L, 4 * ae.cfg.z_channels)
     assert np.isfinite(np.asarray(out["img_cond"], np.float32)).all()
+
+
+def test_host_fingerprint_parses_arm_features(monkeypatch, tmp_path):
+    """arm64 /proc/cpuinfo spells the ISA line 'Features' — hosts with
+    different feature sets must land in different AOT cache namespaces
+    (x86-only 'flags' parsing collapsed them all into one)."""
+    import builtins
+
+    from visualcloze_tpu.utils import cache as vc_cache
+
+    real_open = builtins.open
+
+    def fake_cpuinfo(text):
+        def _open(path, *a, **kw):
+            if path == "/proc/cpuinfo":
+                f = tmp_path / "cpuinfo"
+                f.write_text(text)
+                return real_open(f, *a, **kw)
+            return real_open(path, *a, **kw)
+        return _open
+
+    monkeypatch.setattr(builtins, "open", fake_cpuinfo(
+        "processor : 0\nFeatures : fp asimd evtstrm aes\n"))
+    a = vc_cache._host_fingerprint("cpu")
+    monkeypatch.setattr(builtins, "open", fake_cpuinfo(
+        "processor : 0\nFeatures : fp asimd sve2\n"))
+    b = vc_cache._host_fingerprint("cpu")
+    assert a.startswith("cpu-") and b.startswith("cpu-") and a != b
+    assert "unknown" not in a
+
+    # no parseable cpuinfo at all: still a machine-specific namespace, not a
+    # shared "cpu-unknown" bucket that would cross-load foreign-ISA code
+    def _deny(path, *a, **kw):
+        if path == "/proc/cpuinfo":
+            raise OSError("no cpuinfo")
+        return real_open(path, *a, **kw)
+
+    monkeypatch.setattr(builtins, "open", _deny)
+    c = vc_cache._host_fingerprint("cpu")
+    assert c.startswith("cpu-") and c != "cpu-unknown"
+    assert vc_cache._host_fingerprint("tpu") == "tpu"

@@ -17,6 +17,7 @@ prompts and the PSNR-vs-reference protocol breaks. These tests assert:
 
 from __future__ import annotations
 
+import os
 import random
 import sys
 from pathlib import Path
@@ -220,3 +221,25 @@ def test_data_reader_draws_reference_strings_by_default(tmp_path):
     ]
     assert any(re.fullmatch(p, task) for p in patterns), task
     assert any(content.startswith(p) for p in b["content_templates"])
+
+
+def test_env_bank_typo_fails_at_import():
+    """A typo'd VC_PROMPT_BANK must fail at process start, not at the first
+    template draw deep inside a training run."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-c", "import visualcloze_tpu.data.prefix_instruction"],
+        env={**os.environ, "VC_PROMPT_BANK": "referense", "JAX_PLATFORMS": "cpu"},
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode != 0
+    assert "unknown prompt bank" in r.stderr
+
+    r = subprocess.run(
+        [sys.executable, "-c", "import visualcloze_tpu.data.prefix_instruction"],
+        env={**os.environ, "VC_PROMPT_BANK": "original", "JAX_PLATFORMS": "cpu"},
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr

@@ -386,15 +386,18 @@ def _reference_bank() -> dict:
         return json.load(f)
 
 
-_active_bank = os.environ.get("VC_PROMPT_BANK", "reference")
-
-
 def set_prompt_bank(name: str) -> None:
     """Select the global prompt bank ('reference' or 'original')."""
     global _active_bank
     if name not in PROMPT_BANKS:
         raise ValueError(f"unknown prompt bank {name!r}; expected one of {PROMPT_BANKS}")
     _active_bank = name
+
+
+# Validate the env override at import so a typo'd VC_PROMPT_BANK fails at
+# process start, not at the first template draw deep inside a training run.
+_active_bank = "reference"
+set_prompt_bank(os.environ.get("VC_PROMPT_BANK", "reference"))
 
 
 def get_prompt_bank() -> str:

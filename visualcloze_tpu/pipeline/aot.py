@@ -45,6 +45,7 @@ cleanly.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import logging
 import os
@@ -65,6 +66,30 @@ def default_aot_dir() -> str:
     return os.environ.get("VISUALCLOZE_AOT_DIR", DEFAULT_DIR)
 
 
+@functools.lru_cache(maxsize=1)
+def code_fingerprint() -> str:
+    """Hash of the package's Python source. Without it a daemon restart
+    after a code change (same jax, same shapes) would silently reuse the
+    executable compiled from the OLD code — a numerics fix to flux_apply or
+    denoise would never reach a warm-restarted server. ~16k LoC hashes in
+    well under 100 ms, once per process."""
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.sha256()
+    for dirpath, dirnames, filenames in sorted(os.walk(pkg_root)):
+        dirnames.sort()
+        for fname in sorted(filenames):
+            if not fname.endswith((".py", ".json", ".c", ".so")):
+                continue
+            path = os.path.join(dirpath, fname)
+            h.update(os.path.relpath(path, pkg_root).encode())
+            try:
+                with open(path, "rb") as f:
+                    h.update(f.read())
+            except OSError:
+                pass
+    return h.hexdigest()[:16]
+
+
 def backend_fingerprint() -> str:
     """Everything a serialized executable is specific to. For the CPU
     backend that includes the HOST ISA: XLA:CPU executables embed machine
@@ -77,6 +102,7 @@ def backend_fingerprint() -> str:
     devs = jax.devices()
     return "|".join([
         jax.__version__,
+        code_fingerprint(),
         _host_fingerprint(jax.default_backend()),
         getattr(devs[0], "device_kind", "?"),
         str(len(devs)),

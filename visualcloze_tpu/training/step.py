@@ -125,27 +125,40 @@ def init_train_state(
     into the sharded moments and all-gathers the updates back
     (ref train.py:160-163 SHARD_GRAD_OP)."""
     trainable = lora if training_type == "lora" else params
-    opt_state = optimizer.init(trainable)
-    ema = jax.tree.map(jnp.copy, prune_to_mask(trainable, mask)) if use_ema else None
-    if opt_mesh is not None:
+
+    def make_ema(t):
+        return jax.tree.map(jnp.copy, prune_to_mask(t, mask))
+
+    if opt_mesh is None:
+        opt_state = optimizer.init(trainable)
+        ema = make_ema(trainable) if use_ema else None
+    else:
         from jax.sharding import NamedSharding
 
         from ..parallel.sharding import flux_param_spec
 
-        def place(tree):
-            return jax.tree_util.tree_map_with_path(
-                lambda kp, leaf: jax.device_put(
-                    leaf, NamedSharding(opt_mesh, flux_param_spec(kp, leaf, opt_mesh))
-                ),
-                tree,
-            )
-
         # opt_state/ema leaf paths end in the same param-tree suffixes
         # ('...qkv.w', '...lora.a'), so the fsdp/tp spec rules apply directly;
-        # scalar counters get P() (replicated)
-        opt_state = place(opt_state)
-        if ema is not None:
-            ema = place(ema)
+        # scalar counters get P() (replicated). Shardings are derived from
+        # eval_shape and pinned as jit out_shardings so the moments are
+        # ALLOCATED 1/fsdp-sharded — an eager optimizer.init on the
+        # replicated ZeRO-2 params would materialize the full mu+nu
+        # (~2x param bytes) on every device before resharding, OOMing at
+        # startup exactly the large-model configs --sdp exists for.
+        def shardings_for(abstract):
+            return jax.tree_util.tree_map_with_path(
+                lambda kp, leaf: NamedSharding(
+                    opt_mesh, flux_param_spec(kp, leaf, opt_mesh)
+                ),
+                abstract,
+            )
+
+        opt_sh = shardings_for(jax.eval_shape(optimizer.init, trainable))
+        opt_state = jax.jit(optimizer.init, out_shardings=opt_sh)(trainable)
+        ema = None
+        if use_ema:
+            ema_sh = shardings_for(jax.eval_shape(make_ema, trainable))
+            ema = jax.jit(make_ema, out_shardings=ema_sh)(trainable)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,

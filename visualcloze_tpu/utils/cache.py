@@ -23,12 +23,20 @@ def _host_fingerprint(platform: str) -> str:
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
+                # x86 spells the ISA-feature line "flags"; arm64 "Features"
+                if line.startswith(("flags", "Features")):
                     feats = " ".join(sorted(line.split(":", 1)[1].split()))
                     return "cpu-" + hashlib.sha256(feats.encode()).hexdigest()[:12]
     except OSError:
         pass
-    return "cpu-unknown"
+    # No parseable cpuinfo (macOS, exotic kernels): namespace by the machine
+    # identity instead of collapsing every such host into one shared bucket
+    # that would cross-load foreign-ISA AOT machine code.
+    import platform as _plat
+
+    u = _plat.uname()
+    ident = "|".join([u.system, u.machine, u.processor, u.version])
+    return "cpu-" + hashlib.sha256(ident.encode()).hexdigest()[:12]
 
 
 def enable_compilation_cache(path: str | None = None) -> str:
