@@ -534,12 +534,16 @@ def bench_int8_full(ts, ts2) -> dict | None:
         _sync(ex1(dev_w, wx1, wts1))
         _sync(ex2(dev_w, wx2, wts2))
         t_warm = time.perf_counter() - t0
+        # device_put is async: the host->HBM transfer drains into the first
+        # query's sync, so weights+first-query are one combined link-bound
+        # figure — splitting them would misattribute the transfer time.
         print(f"B) warm-restart (restart cost after process start): {t_warm:.0f}s"
               f" = deserialize executables {t_deser:.1f}s + stream 12GB weights "
-              f"{t_weights:.0f}s (host->HBM link-bound) + first "
-              f"stage-1+stage-2 queries {t_warm - t_deser - t_weights:.0f}s; "
-              f"XLA compile eliminated (was in compile+load {t_load:.0f}s this "
-              f"cold run)", file=sys.stderr)
+              f"and run first stage-1+stage-2 queries "
+              f"{t_warm - t_deser:.0f}s combined (async puts drain into the "
+              f"first sync; host->HBM link-bound); XLA compile eliminated "
+              f"(was in compile+load {t_load:.0f}s this cold run)",
+              file=sys.stderr)
         del ex1, ex2, host_w, dev_w, wx1, wts1, wx2, wts2
         _free()
     except Exception as e:  # pragma: no cover - hardware dependent
@@ -596,8 +600,8 @@ def main() -> None:
             w8_note += (
                 f"; warm-restart {round(int8_res['warm_restart'], 1)}s "
                 f"(executables {round(int8_res['warm_deser'], 1)}s — XLA "
-                f"compile eliminated; 12GB weight stream "
-                f"{round(int8_res['warm_weights'], 1)}s host->HBM link-bound)"
+                f"compile eliminated; rest is the 12GB weight stream draining "
+                f"into the first queries, host->HBM link-bound)"
             )
         if den1_w8 is not None:
             e2e_w8 = (t_text + t_vae + den1_w8) + (t_text + 2 * t_enc2 + den2_w8 + t_dec2)
