@@ -359,3 +359,87 @@ def test_grid_dataset_does_not_stomp_global_random(tmp_path):
                      task_dicts=task_dicts)
     assert random.getstate() == state_before
     assert len(ds) == 3  # the 0.5 subsample itself still applies
+
+
+# ----------------------------- processing.py chain -----------------------------
+
+def _fake_hf_item(rng):
+    """One Graph200K item with the HF dataset's actual column names
+    (reference processing.py:8-77, docs/DATASET.md)."""
+    def im():
+        return Image.fromarray(rng.integers(0, 256, (48, 48, 3), dtype=np.uint8))
+
+    item = {
+        "target": im(), "ref": im(), "canny": im(), "depth": im(),
+        "hed": im(), "normal": im(), "mlsd": im(), "openpose": im(),
+        "sam2_mask": im(), "uniformer": im(), "foreground": im(),
+        "DepthEdit": im(), "qwen_2_5_mask": im(), "qwen_2_5_bounding_box": im(),
+        "qwen_2_5_meta": {"0": {"name": "cup", "color": [255, 0, 0]}},
+        "quality_assessment": {"objectConsistency": 5, "compositeStructure": 5,
+                               "imageQuality": 5},
+        "description": {"item": "a cup", "description_0": "a cup on a desk"},
+        "collection": "unit-test",
+        "FillEdit_meta": {"name": "vase", "description": "a blue vase"},
+    }
+    for fam in ("InstantStyle", "ReduxStyle"):
+        for i in range(3):
+            item[f"{fam}_image_{i}"] = im()
+            item[f"{fam}_ref_{i}"] = im()
+    for i in range(5):
+        item[f"FillEdit_image_{i}"] = im()
+    return item
+
+
+def test_processing_records_feed_the_reader(tmp_path):
+    """process_split output must be consumable by Graph200KItemProcessor for
+    EVERY image-type family and pass check_item — the full HF-dataset ->
+    disk -> trainer chain (the HF keys are ref/_ref_/qwen_2_5_*, not the
+    record keys the reader uses)."""
+    import processing
+
+    rng = np.random.default_rng(0)
+    items = [_fake_hf_item(rng) for _ in range(2)]
+    processing.process_split(items, str(tmp_path), "train")
+
+    records = json.loads((tmp_path / "train_data.json").read_text())
+    assert len(records) == 2
+    cond = records[0]["condition"]
+    assert records[0]["collection"] == "unit-test"
+    assert cond["FillEdit"]["name"] == "vase"
+    assert len(cond["FillEdit"]["image_path"]) == 5
+    assert len(cond["InstantStyle"]["style_path"]) == 3
+    assert "bbox" in cond and cond["qwen_2_5_meta"] is not None
+
+    proc = Graph200KItemProcessor(resolution=64)
+    r = random.Random(0)
+    families = [
+        ["reference", "target"], ["foreground", "target"],
+        ["background", "target"], ["InstantStyle", "target"],
+        ["ReduxStyle", "target"], ["DepthEdit", "target"],
+        ["FillEdit", "target"], ["mask", "target"], ["canny", "target"],
+        ["depth", "target"], ["hed", "target"], ["normal", "target"],
+        ["mlsd", "target"], ["openpose", "target"], ["sam2_mask", "target"],
+        ["uniformer", "target"], ["GaussianBlur", "target"],
+    ]
+    for types in families:
+        assert check_item_graph200k(records[0], types), types
+        out = proc.process_item(records, training_mode=True,
+                                image_type_list=types, context_num=2, rng=r)
+        assert out is not None, types
+
+
+def test_processing_skips_partial_style_sets(tmp_path):
+    """A missing style ref drops the whole family (reference semantics) but
+    keeps the rest of the record."""
+    import processing
+
+    rng = np.random.default_rng(1)
+    item = _fake_hf_item(rng)
+    item["InstantStyle_ref_2"] = None
+    item["FillEdit_image_4"] = None
+    processing.process_split([item], str(tmp_path), "test")
+    rec = json.loads((tmp_path / "test_data.json").read_text())[0]
+    assert "InstantStyle" not in rec["condition"]
+    assert "FillEdit" not in rec["condition"]
+    assert "ReduxStyle" in rec["condition"]
+    assert rec["condition"]["reference"].endswith("reference.jpg")
