@@ -1,10 +1,13 @@
 from .visualcloze import VisualClozeModel
 from .loader import build_visualcloze, random_components
 from .orchestrator import PipelinedServer, ReplicaPool
+from .diffusers_api import VisualClozePipeline, VisualClozePipelineOutput
 from . import preprocessing
 
 __all__ = [
     "VisualClozeModel",
+    "VisualClozePipeline",
+    "VisualClozePipelineOutput",
     "build_visualcloze",
     "random_components",
     "PipelinedServer",
