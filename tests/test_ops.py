@@ -623,3 +623,101 @@ def test_attention_dispatch_fuses_rope_on_pallas_half():
         got = attention(q, k, v, pe, mask=mask, impl="pallas", rope_layout="half")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_flash_pipelined_interpret_matches_xla():
+    """Software-pipelined serving forward (s-tile ping-pong, output lagging
+    one q block) vs the XLA oracle — including both-side padding, a
+    fully-masked batch row, and the no-bias route."""
+    from visualcloze_tpu.ops import flash_attention as fa
+
+    rng = np.random.default_rng(12)
+    for L, with_mask in ((256, True), (200, True), (384, False)):
+        b, h, d = 2, 2, 32
+        q = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+        bias = None
+        valid = np.ones((b, 1, L, 1), np.float32)
+        if with_mask:
+            mask = np.ones((b, L), np.int32)
+            mask[0, L - 40:] = 0
+            mask[1, :] = 0  # fully masked row: zeros out, no NaN
+            bias = mask_to_bias(jnp.asarray(mask))
+            valid[1] = 0.0
+        lq_p = L + (-L) % fa.PIPELINE_BLOCK_Q
+        assert fa._pipeline_fits(lq_p, L + (-L) % 128, d, rope=False)
+
+        with _interp_patch(fa):
+            got = fa.flash_mha(q, k, v, bias)
+        want = mha_xla(q, k, v, bias)
+        assert got.shape == q.shape
+        np.testing.assert_allclose(
+            np.asarray(got) * valid, np.asarray(want) * valid, rtol=2e-5, atol=2e-5
+        )
+        if with_mask:
+            np.testing.assert_array_equal(np.asarray(got[1]), 0.0)
+
+
+def test_flash_pipelined_matches_blocked_kernel():
+    """Pipeline on/off produce identical outputs (same math, reordered)."""
+    import unittest.mock as um
+
+    from visualcloze_tpu.ops import flash_attention as fa
+
+    rng = np.random.default_rng(13)
+    b, h, L, d = 1, 2, 256, 32
+    q = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+    mask = np.ones((b, L), np.int32)
+    mask[0, 220:] = 0
+    bias = mask_to_bias(jnp.asarray(mask))
+
+    with _interp_patch(fa):
+        piped = fa.flash_mha(q, q, q, bias)
+        with um.patch.object(fa, "_PIPELINE_ENABLED", False):
+            blocked = fa.flash_mha(q, q, q, bias)
+    np.testing.assert_allclose(np.asarray(piped), np.asarray(blocked),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_flash_pipelined_rope_interpret_matches_xla():
+    """RoPE-fused pipelined route (flash_mha_rope default when shapes fit):
+    K rotated once into a resident scratch, q per block."""
+    from visualcloze_tpu.ops import flash_attention as fa
+    from visualcloze_tpu.ops.rope import apply_rope_half, embed_nd
+
+    rng = np.random.default_rng(14)
+    for L, with_mask in ((256, True), (192, False)):
+        b, h, d = 2, 2, 32
+        q = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+        ids = np.stack(
+            [np.zeros(L), np.arange(L) // 16, np.arange(L) % 16], -1
+        )[None].repeat(b, 0)
+        cos, sin = embed_nd(jnp.asarray(ids, jnp.float32), (8, 12, 12), 10_000)
+        bias = None
+        if with_mask:
+            mask = np.ones((b, L), np.int32)
+            mask[0, L - 40:] = 0
+            bias = mask_to_bias(jnp.asarray(mask))
+        assert fa._pipeline_fits(L + (-L) % 128, L + (-L) % 128, d, rope=True)
+
+        with _interp_patch(fa):
+            got = fa.flash_mha_rope(q, k, v, bias, cos, sin)
+        qr = apply_rope_half(q, cos[:, None], sin[:, None])
+        kr = apply_rope_half(k, cos[:, None], sin[:, None])
+        want = mha_xla(qr, kr, v, bias)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_pipeline_fits_guard():
+    from visualcloze_tpu.ops.flash_attention import (
+        PIPELINE_BLOCK_Q, _pipeline_fits)
+
+    assert _pipeline_fits(3968, 4096, 128, rope=True)    # serving stage-1
+    assert _pipeline_fits(4608, 4608, 128, rope=True)    # stage-2 SDEdit
+    assert not _pipeline_fits(3968 + 64, 4096, 128, rope=False)  # not bq-divisible
+    assert not _pipeline_fits(8192, 16384, 128, rope=False)      # s tiles too big
+    assert PIPELINE_BLOCK_Q % 128 == 0

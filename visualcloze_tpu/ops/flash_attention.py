@@ -21,6 +21,7 @@ Design:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -116,6 +117,202 @@ def _flash_kernel_nobias(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, s
                          fastmax: bool = False):
     _flash_kernel(q_ref, k_ref, v_ref, None, o_ref, m_ref, l_ref, acc_ref, scale=scale,
                   fastmax=fastmax)
+
+
+# ------------------------- software-pipelined forward -------------------------
+#
+# At the serving shapes the whole key row fits one block (bk=4096+), so the
+# grid's k dimension is size 1 and each grid step is the serial chain
+#   s = q@K (MXU)  ->  max/exp2/sum over the (BQ, L) s tile (VPU)  ->  p@V (MXU).
+# The device trace shows the kernel at 71% in-model MFU with the gap almost
+# exactly the VPU exp2 time — Mosaic does not overlap compute across grid
+# steps, so the MXU idles during every softmax pass. Different q blocks are
+# independent, so a 1-deep software pipeline hides the VPU under the MXU:
+# step i writes s(i) into a ping-pong VMEM scratch and finalizes block i-1
+# from the other buffer (output BlockSpec lags the grid by one; one extra
+# trailing grid step flushes the last block). No online-softmax state is
+# needed at all — with the full key row in one tile the softmax is exact in
+# one shot. The RoPE variant rotates K ONCE into a resident scratch at step 0
+# (the blocked kernel re-rotates K for every q block) and q per block.
+#
+# VMEM budget: 2 x (BQ, Lk_p) fp32 s tiles dominate; BQ=128 keeps the pair
+# at ~5 MB for Lk_p=5120 and divides every 128-bucketed query length, so the
+# pipeline adds no query padding. Guarded by _pipeline_fits.
+
+# serving-forward default; VC_FLASH_PIPELINE=0 falls back to the blocked
+# kernel (training/VJP paths always use the blocked kernels — their
+# residual/lse plumbing is unchanged)
+_PIPELINE_ENABLED = os.environ.get("VC_FLASH_PIPELINE", "1") != "0"
+PIPELINE_BLOCK_Q = 128
+# 2 s-tiles + resident k/v (+ rotated-k scratch) + q/o/bias blocks, ~1 MB
+# slack under the ~16 MB VMEM budget
+_PIPELINE_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def _pipeline_fits(lq_p: int, lk_p: int, d: int, rope: bool) -> bool:
+    if lq_p % PIPELINE_BLOCK_Q:
+        return False
+    s_tiles = 2 * PIPELINE_BLOCK_Q * lk_p * 4
+    kv = 2 * lk_p * d * 2
+    krot = lk_p * d * 2 if rope else 0
+    return s_tiles + kv + krot <= _PIPELINE_VMEM_BUDGET
+
+
+def _softmax_block(sp, v, o_ref):
+    """Single-shot softmax + PV for one finished s tile (log2 units, bias
+    already added; padded keys carry -inf)."""
+    # floor the stabilizer at NEG_INF like the blocked kernel's running-max
+    # init: fully-masked rows (every s ~ -1e30*LOG2E < NEG_INF) then underflow
+    # p to exactly 0 -> l == 0 -> zero output instead of a softmax over noise
+    m = jnp.maximum(jnp.max(sp, axis=-1), NEG_INF)
+    p = jnp.exp2(sp - m[:, None])
+    l = jnp.sum(p, axis=-1)
+    l = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows -> zeros, not NaN
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0] = (o / l[:, None]).astype(o_ref.dtype)
+
+
+def _flash_kernel_pipe(q_ref, k_ref, v_ref, bias_ref, o_ref, s_pp, *, scale, nq):
+    iq = pl.program_id(2)
+
+    @pl.when(iq < nq)
+    def _write():
+        q = (q_ref[0, 0].astype(jnp.float32) * (scale * LOG2E)).astype(q_ref.dtype)
+        s = jax.lax.dot_general(
+            q, k_ref[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if bias_ref is not None:
+            s = s + bias_ref[0, 0][None, :]
+        s_pp[iq % 2] = s
+
+    @pl.when(iq > 0)
+    def _process():
+        _softmax_block(s_pp[(iq - 1) % 2], v_ref[0, 0], o_ref)
+
+
+def _flash_kernel_pipe_nobias(q_ref, k_ref, v_ref, o_ref, s_pp, *, scale, nq):
+    _flash_kernel_pipe(q_ref, k_ref, v_ref, None, o_ref, s_pp, scale=scale, nq=nq)
+
+
+def _flash_kernel_pipe_rope(q_ref, k_ref, v_ref, bias_ref, cq_ref, sq_ref,
+                            ck_ref, sk_ref, o_ref, s_pp, krot_ref, *, scale, nq):
+    iq = pl.program_id(2)
+
+    @pl.when(iq == 0)
+    def _rotate_k():  # once per (batch, head): the blocked kernel pays this per q block
+        krot_ref[:] = _rot_half(
+            k_ref[0, 0].astype(jnp.float32), ck_ref[0], sk_ref[0]
+        ).astype(krot_ref.dtype)
+
+    @pl.when(iq < nq)
+    def _write():
+        q32 = _rot_half(q_ref[0, 0].astype(jnp.float32), cq_ref[0], sq_ref[0])
+        q = (q32 * (scale * LOG2E)).astype(q_ref.dtype)
+        s = jax.lax.dot_general(
+            q, krot_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if bias_ref is not None:
+            s = s + bias_ref[0, 0][None, :]
+        s_pp[iq % 2] = s
+
+    @pl.when(iq > 0)
+    def _process():
+        _softmax_block(s_pp[(iq - 1) % 2], v_ref[0, 0], o_ref)
+
+
+def _flash_kernel_pipe_rope_nobias(q_ref, k_ref, v_ref, cq_ref, sq_ref,
+                                   ck_ref, sk_ref, o_ref, s_pp, krot_ref, *,
+                                   scale, nq):
+    _flash_kernel_pipe_rope(q_ref, k_ref, v_ref, None, cq_ref, sq_ref, ck_ref,
+                            sk_ref, o_ref, s_pp, krot_ref, scale=scale, nq=nq)
+
+
+def _flash_fwd_pipelined(q, k, v, bias, rope_tables=None):
+    """Pipelined forward on padded operands (both seq dims 128-multiples,
+    bias already log2-scaled (B, 1, Lk_p) with -inf on padded keys).
+    rope_tables: optional (cq, sq, ck, sk) full-width fp32 tables (the
+    rotation then runs in-kernel on unrotated q/k)."""
+    b, h, lq_p, d = q.shape
+    lk_p = k.shape[2]
+    bq = PIPELINE_BLOCK_Q
+    nq = lq_p // bq
+    grid = (b, h, nq + 1)
+
+    q_spec = pl.BlockSpec(
+        (1, 1, bq, d), lambda b_, h_, iq: (b_, h_, jnp.minimum(iq, nq - 1), 0)
+    )
+    kv_spec = pl.BlockSpec((1, 1, lk_p, d), lambda b_, h_, iq: (b_, h_, 0, 0))
+    o_spec = pl.BlockSpec(
+        (1, 1, bq, d), lambda b_, h_, iq: (b_, h_, jnp.maximum(iq - 1, 0), 0)
+    )
+    in_specs = [q_spec, kv_spec, kv_spec]
+    operands = [q, k, v]
+    with_bias = bias is not None
+    if with_bias:
+        in_specs.append(pl.BlockSpec((1, 1, lk_p), lambda b_, h_, iq: (b_, 0, 0)))
+        operands.append(bias)
+    scratch = [pltpu.VMEM((2, bq, lk_p), jnp.float32)]
+    if rope_tables is None:
+        kernel = functools.partial(
+            _flash_kernel_pipe if with_bias else _flash_kernel_pipe_nobias,
+            scale=d ** -0.5, nq=nq,
+        )
+    else:
+        cq, sq, ck, sk = rope_tables
+        tq_spec = pl.BlockSpec(
+            (1, bq, d), lambda b_, h_, iq: (b_, jnp.minimum(iq, nq - 1), 0)
+        )
+        tk_spec = pl.BlockSpec((1, lk_p, d), lambda b_, h_, iq: (b_, 0, 0))
+        in_specs += [tq_spec, tq_spec, tk_spec, tk_spec]
+        operands += [cq, sq, ck, sk]
+        scratch.append(pltpu.VMEM((lk_p, d), k.dtype))
+        kernel = functools.partial(
+            _flash_kernel_pipe_rope if with_bias else _flash_kernel_pipe_rope_nobias,
+            scale=d ** -0.5, nq=nq,
+        )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=o_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * lq_p * lk_p * d,
+            bytes_accessed=(2 * b * h * lq_p * d + 2 * b * h * lk_p * d) * q.dtype.itemsize,
+            transcendentals=b * h * lq_p * lk_p,
+        ),
+    )(*operands)
+
+
+def _pad_for_pipeline(q, k, v, bias):
+    """Pad seq dims to 128 multiples and prep the log2 bias for the
+    pipelined kernel. Returns (q, k, v, bias_or_None, lq, lq_pad)."""
+    b, _, lq, _ = q.shape
+    lk = k.shape[2]
+    lq_pad = (-lq) % PIPELINE_BLOCK_Q
+    lk_pad = (-lk) % 128
+    if lq_pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad), (0, 0)))
+    if lk_pad and bias is None:
+        bias = jnp.zeros((b, lk), dtype=jnp.float32)
+    if lk_pad:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, lk_pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, lk_pad), (0, 0)))
+        bias = jnp.pad(
+            bias.astype(jnp.float32), ((0, 0), (0, lk_pad)), constant_values=NEG_INF
+        )
+    if bias is not None:
+        bias = (bias.astype(jnp.float32) * LOG2E)[:, None, :]
+    return q, k, v, bias, lq, lq_pad
 
 
 # ----------------------------- RoPE-fused forward -----------------------------
@@ -285,6 +482,15 @@ def flash_mha_rope(q, k, v, bias, cos, sin):
     flash_mha(apply_rope_half(q), apply_rope_half(k), v, bias) with the
     rotation running inside the kernel (no rotated-q/k HBM round trip)."""
     assert q.shape[2] == k.shape[2], "rope fusion expects joint self-attention"
+    d = q.shape[-1]
+    lq_p = q.shape[2] + (-q.shape[2]) % PIPELINE_BLOCK_Q
+    lk_p = k.shape[2] + (-k.shape[2]) % 128
+    if _PIPELINE_ENABLED and _pipeline_fits(lq_p, lk_p, d, rope=True):
+        lk = k.shape[2]
+        q, k, v, bias, lq, lq_pad = _pad_for_pipeline(q, k, v, bias)
+        cq, ck, sq, sk = _expand_rope_tables(cos, sin, lq, lk, lq_p - lq, lk_p - lk)
+        out = _flash_fwd_pipelined(q, k, v, bias, rope_tables=(cq, sq, ck, sk))
+        return out[:, :, :lq] if lq_pad else out
     return _flash_fwd_rope(q, k, v, bias, cos, sin)
 
 
@@ -621,6 +827,13 @@ def _flash_fwd_lse(q, k, v, bias):
 @jax.custom_vjp
 def flash_mha(q, k, v, bias):
     """Flash attention: q, k, v (B, H, L, D) bf16/fp32, bias (B, Lk) fp32 or None."""
+    d = q.shape[-1]
+    lq_p = q.shape[2] + (-q.shape[2]) % PIPELINE_BLOCK_Q
+    lk_p = k.shape[2] + (-k.shape[2]) % 128
+    if _PIPELINE_ENABLED and _pipeline_fits(lq_p, lk_p, d, rope=False):
+        q, k, v, bias, lq, lq_pad = _pad_for_pipeline(q, k, v, bias)
+        out = _flash_fwd_pipelined(q, k, v, bias)
+        return out[:, :, :lq] if lq_pad else out
     return _flash_fwd(q, k, v, bias)
 
 
