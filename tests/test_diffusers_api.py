@@ -29,13 +29,16 @@ def _grid():
 
 
 def test_call_matches_process_images(model):
-    """pipe(...) == model.process_images(...) given the same prompts/seed."""
+    """pipe(upsampling_strength=s) == model.process_images(
+    upsampling_noise=1-s): diffusers' strength is the inverse of the
+    reference repo's latent mix weight (ref visualcloze.py:221)."""
     pipe = VisualClozePipeline(model)
     out = pipe(
         task_prompt="each row maps a photo to itself",
         content_prompt="a colorful square",
         image=_grid(),
-        upsampling_strength=0.0,   # skip SDEdit: exercised separately below
+        upsampling_strength=0.6,   # == reference upsampling_noise 0.4
+        upsampling_steps=2,
         num_inference_steps=2,
         guidance_scale=30.0,
         seed=7,
@@ -49,7 +52,8 @@ def test_call_matches_process_images(model):
         _grid(),
         [default_layout_prompt(2, 2), "each row maps a photo to itself",
          "a colorful square"],
-        seed=7, cfg=30.0, steps=2, is_upsampling=False,
+        seed=7, cfg=30.0, steps=2, upsampling_steps=2,
+        upsampling_noise=0.4, is_upsampling=True,
     )
     np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
 
@@ -71,13 +75,51 @@ def test_upsampling_size_override(model):
              upsampling_width=96)
 
 
-def test_strength_one_is_plain_resize(model):
-    """upsampling_strength >= 1.0 degenerates to a resize (ref
-    visualcloze.py:181-182) — still returns an image, no denoise."""
+def test_strength_zero_is_plain_resize(model):
+    """Diffusers strength=0 means zero denoise steps: the stage still runs
+    and honors upsampling dims, returning the plainly-resized stage-1 cell
+    (maps to the reference's upsampling_noise >= 1.0 path,
+    visualcloze.py:181-182) — strength=0 must NOT skip the resize."""
     pipe = VisualClozePipeline(model)
-    out = pipe(task_prompt="t", image=_grid(), num_inference_steps=2,
-               upsampling_strength=1.0, upsampling_steps=2, seed=3)
-    assert isinstance(out.images[0][0], Image.Image)
+    kw = dict(task_prompt="t", image=_grid(), num_inference_steps=2,
+              upsampling_steps=2, upsampling_width=96, upsampling_height=64,
+              seed=3)
+    out = pipe(upsampling_strength=0.0, **kw)
+    img = out.images[0][0]
+    assert (img.width, img.height) == (96, 64)
+
+    # it is exactly the resize of the no-upsampling stage-1 cell
+    model.set_grid_size(2, 2)
+    base = model.process_images(
+        _grid(), [default_layout_prompt(2, 2), "t", ""],
+        seed=3, cfg=30.0, steps=2, is_upsampling=False)[0]
+    want = base.resize((96, 64))  # pipeline's plain-resize (default resample)
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(want))
+
+    # strength=1.0 (the diffusers default) is the full conditional
+    # regeneration — runs the denoiser, not the resize
+    full = pipe(upsampling_strength=1.0, **kw).images[0][0]
+    assert (full.width, full.height) == (96, 64)
+    assert np.abs(np.asarray(full, np.float32) -
+                  np.asarray(img, np.float32)).max() > 0
+
+    with pytest.raises(ValueError, match="upsampling_strength"):
+        pipe(upsampling_strength=1.5, **kw)
+
+
+def test_as_image_band_normalization():
+    """RGBA/grayscale PIL cells and (H,W)/(H,W,4) arrays are normalized to
+    RGB like diffusers' load_image."""
+    from visualcloze_tpu.pipeline.diffusers_api import _as_image
+
+    rgba = Image.new("RGBA", (8, 8), (10, 20, 30, 128))
+    gray = Image.new("L", (8, 8), 77)
+    arr_gray = np.full((8, 8), 9, np.uint8)
+    arr_rgba = np.zeros((8, 8, 4), np.uint8)
+    for cell in (rgba, gray, arr_gray, arr_rgba):
+        img = _as_image(cell)
+        assert img.mode == "RGB" and img.size == (8, 8)
+    assert _as_image(None) is None
 
 
 def test_generator_and_seed_equivalent(model):

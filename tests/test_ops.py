@@ -721,3 +721,13 @@ def test_pipeline_fits_guard():
     assert not _pipeline_fits(3968 + 64, 4096, 128, rope=False)  # not bq-divisible
     assert not _pipeline_fits(8192, 16384, 128, rope=False)      # s tiles too big
     assert PIPELINE_BLOCK_Q % 128 == 0
+
+    # rope residents (fp32 ck/sk table rows + rotated-k scratch) count: just
+    # above the serving sizes the rope path must fall back to the blocked
+    # kernel rather than fail Mosaic VMEM allocation (s tiles 5.5 MB + kv
+    # 2.75 MB + krot 1.4 MB + tables 5.5 MB > budget at 5376)
+    for lk_p in (5376, 5632, 6144, 6528):
+        assert not _pipeline_fits(lk_p - lk_p % 128, lk_p, 128, rope=True)
+    # ... while the same shapes WITHOUT rope (no resident tables) still fit
+    assert _pipeline_fits(5376, 5376, 128, rope=False)
+    assert _pipeline_fits(6400, 6400, 128, rope=False)

@@ -154,8 +154,18 @@ def _pipeline_fits(lq_p: int, lk_p: int, d: int, rope: bool) -> bool:
         return False
     s_tiles = 2 * PIPELINE_BLOCK_Q * lk_p * 4
     kv = 2 * lk_p * d * 2
-    krot = lk_p * d * 2 if rope else 0
-    return s_tiles + kv + krot <= _PIPELINE_VMEM_BUDGET
+    bias_row = lk_p * 4  # (1, 1, lk_p) fp32 bias block
+    if rope:
+        # the rope path keeps THREE more full-width residents: the rotated-k
+        # scratch (bf16) and the ck/sk fp32 table blocks (tk_spec streams the
+        # whole (lk_p, d) row per grid step) — omitting the tables once let
+        # ~6k-seq shapes pass the guard and then fail Mosaic VMEM allocation
+        # at compile time instead of falling back to the blocked kernel
+        krot = lk_p * d * 2
+        tables = 2 * lk_p * d * 4
+    else:
+        krot = tables = 0
+    return s_tiles + kv + bias_row + krot + tables <= _PIPELINE_VMEM_BUDGET
 
 
 def _softmax_block(sp, v, o_ref):

@@ -18,11 +18,19 @@ diffusers user switches with near-zero code change. Mapping notes:
 - the layout prompt is auto-generated from the grid shape (reference bank
   template, same text the reference pipelines produce) unless
   `layout_prompt` is given explicitly.
-- `upsampling_strength` is the reference repo's `upsampling_noise` (SDEdit
-  mix factor); `upsampling_steps` keeps the reference repo's grid-count
-  semantics (default 10 -> 9 integrator steps). `upsampling_strength=0`
-  skips the SDEdit stage; `>= 1.0` degenerates to a plain resize (ref
-  visualcloze.py:181-182).
+- `upsampling_strength` keeps diffusers' img2img convention — the fraction
+  of the schedule re-run on the resized image (1.0 = regenerate fully,
+  conditioned on the stage-1 result; 0.0 = no denoise, return the plain
+  resize). The reference repo's native knob is the *latent* mix weight
+  `upsampling_noise` (x = noise*(1-un) + latent*un, ref visualcloze.py:221,
+  where un >= 1.0 degenerates to a plain resize, ref :181-182); the two are
+  inverses: `upsampling_noise = 1 - upsampling_strength`. The facade maps
+  accordingly, so the model card's `upsampling_strength=0.3` gives the same
+  light SDEdit refinement here as in diffusers. The upsampling pass always
+  runs (to `upsampling_height/width` if given, else the query cell's native
+  size), like diffusers' combined pipeline; the default strength matches
+  diffusers (1.0). `upsampling_steps` keeps the reference repo's grid-count
+  semantics (default 10 -> 9 integrator steps).
 - `generator`: anything with `initial_seed()` (torch.Generator) or an int
   seed; `seed=` is the native spelling.
 - batch size is 1 (the reference serves B=1 grids); `.images` still nests
@@ -48,12 +56,17 @@ class VisualClozePipelineOutput:
 
 
 def _as_image(cell: Any) -> Image.Image | None:
-    if cell is None or isinstance(cell, Image.Image):
-        return cell
+    """diffusers' load_image always yields RGB — convert uniformly so RGBA/
+    grayscale PIL cells and (H,W)/(H,W,4) arrays don't reach preprocessing
+    with the wrong band count."""
+    if cell is None:
+        return None
+    if isinstance(cell, Image.Image):
+        return cell.convert("RGB")
     if isinstance(cell, (str, Path)):
         return Image.open(cell).convert("RGB")
     if isinstance(cell, np.ndarray):
-        return Image.fromarray(cell)
+        return Image.fromarray(cell).convert("RGB")
     raise TypeError(f"unsupported image cell type {type(cell).__name__}")
 
 
@@ -143,7 +156,7 @@ class VisualClozePipeline:
         layout_prompt: str | None = None,
         upsampling_width: int | None = None,
         upsampling_height: int | None = None,
-        upsampling_strength: float = 0.4,
+        upsampling_strength: float = 1.0,
         upsampling_steps: int = 10,
         guidance_scale: float = 30.0,
         num_inference_steps: int = 30,
@@ -195,11 +208,17 @@ class VisualClozePipeline:
             if upsampling_width is None or upsampling_height is None:
                 raise ValueError("pass both upsampling_width and upsampling_height")
             q["upsampling_size"] = (upsampling_width, upsampling_height)  # PIL (w, h)
+        if not 0.0 <= upsampling_strength <= 1.0:
+            raise ValueError("upsampling_strength must be in [0, 1]")
         samples = m.denoise_query(q)
+        # diffusers strength -> reference-repo noise mix: un = 1 - s, so
+        # s=0.3 is a light refinement and s=0 is the plain resize (the
+        # un >= 1.0 path), dims still honored. The pass always runs, like
+        # diffusers' combined pipeline.
         cells = m.finalize_query(
             q, samples,
             upsampling_steps=upsampling_steps,
-            upsampling_noise=upsampling_strength,
-            is_upsampling=upsampling_strength > 0.0,
+            upsampling_noise=1.0 - upsampling_strength,
+            is_upsampling=True,
         )
         return VisualClozePipelineOutput(images=[cells])
