@@ -379,6 +379,7 @@ def bench_int8_full(ts, ts2) -> dict | None:
         build_synthetic_int8_checkpoint,
         device_put_with_formats,
         load_params_dir,
+        stream_params_dir,
     )
     from visualcloze_tpu.pipeline.aot import load_executable
 

@@ -11,13 +11,87 @@ from visualcloze_tpu.models.quant import quantize_flux_int8
 from visualcloze_tpu.pipeline.serving import (
     build_synthetic_int8_checkpoint,
     compile_with_formats,
+    device_put_retile,
     device_put_with_formats,
     load_compiled_params,
     load_params_dir,
     save_params_dir,
+    stream_params_dir,
 )
 
 CFG = FluxConfig().tiny()
+
+
+def test_device_put_retile_matches_direct_put():
+    """The two-hop flat-DMA + on-device-retile path must land the exact same
+    values in the exact same Format as a direct device_put(leaf, format),
+    for leaves above and below the size threshold."""
+    big = np.arange(4 * 1024 * 1024, dtype=np.int8).reshape(4, 1024, 1024)
+    small = np.arange(64, dtype=np.float32).reshape(8, 8)
+    compiled = jax.jit(
+        lambda a, b: (a.astype(jnp.float32).sum(), b.sum())
+    ).lower(
+        jax.ShapeDtypeStruct(big.shape, big.dtype),
+        jax.ShapeDtypeStruct(small.shape, small.dtype),
+    ).compile()
+    fmt_big, fmt_small = compiled.input_formats[0]
+    for arr, fmt in ((big, fmt_big), (small, fmt_small)):
+        got = device_put_retile(arr, fmt)
+        want = jax.device_put(arr, fmt)
+        assert got.format == want.format
+        np.testing.assert_array_equal(np.asarray(got), arr)
+
+
+def test_stream_params_dir_matches_blocking_load(tmp_path):
+    """stream_params_dir (pipelined disk->DMA->retile) rebuilds the identical
+    tree device_put_with_formats does, and reports a sane decomposition."""
+    params = quantize_flux_int8(init_flux(jax.random.PRNGKey(0), CFG))
+    save_params_dir(params, str(tmp_path / "q"))
+
+    def fn(p, x):
+        return flux_apply(
+            CFG, p,
+            img=x,
+            img_ids=jnp.zeros((1, 16, 3), jnp.float32),
+            txt=jnp.zeros((1, 8, CFG.context_in_dim), jnp.float32),
+            txt_ids=jnp.zeros((1, 8, 3), jnp.float32),
+            timesteps=jnp.full((1,), 0.5, jnp.float32),
+            y=jnp.zeros((1, CFG.vec_in_dim), jnp.float32),
+            guidance=jnp.full((1,), 4.0, jnp.float32),
+            attn_impl="xla",
+        )
+
+    x = np.random.default_rng(1).standard_normal((1, 16, CFG.in_channels)).astype(np.float32)
+    host = load_params_dir(str(tmp_path / "q"))
+    compiled, fmts = compile_with_formats(fn, host, x)
+    streamed, stats = stream_params_dir(str(tmp_path / "q"), fmts[0])
+    blocking = device_put_with_formats(host, fmts[0])
+    assert jax.tree.structure(streamed) == jax.tree.structure(blocking)
+    for a, b in zip(jax.tree.leaves(streamed), jax.tree.leaves(blocking)):
+        assert a.format == b.format
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert stats["bytes"] == sum(l.nbytes for l in jax.tree.leaves(streamed))
+    assert 0.0 <= stats["disk_s"] and stats["total_s"] > 0.0
+    dev_x = jax.device_put(x, fmts[1])
+    np.testing.assert_allclose(
+        np.asarray(compiled(streamed, dev_x)),
+        np.asarray(compiled(blocking, dev_x)),
+        rtol=0, atol=0,
+    )
+
+
+def test_stream_params_dir_broadcast_device(tmp_path):
+    """With no formats tree (serve-boot case: nothing compiled yet), the
+    streamer places every leaf on the given device in default layout and
+    rebuilds the manifest's tree structure."""
+    params = init_flux(jax.random.PRNGKey(2), CFG)
+    save_params_dir(params, str(tmp_path / "p"))
+    tree, stats = stream_params_dir(str(tmp_path / "p"), jax.devices()[0])
+    assert jax.tree.structure(tree) == jax.tree.structure(params)
+    for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert a.devices() == {jax.devices()[0]}
+    assert stats["bytes"] > 0
 
 
 def test_params_dir_roundtrip(tmp_path):
