@@ -365,10 +365,28 @@ def gate_fast_modes(model, spec: dict, seed: int, gates: list[Gate], ci: bool) -
         gates.append(Gate(name, status, val,
                           f"PSNR > {PSNR_MODE_MIN} dB vs bf16/euler output", flip))
 
+    # --- int8 weight-only: the DEFAULT 12B serving mode (serve.py/bench.py
+    # headline numbers all ship on it) — gated like every other fast mode
+    # instead of assumed near-lossless (VERDICT r4 weak #3) ---
+    from visualcloze_tpu.models.quant import (
+        quantize_flux_int8,
+        quantize_flux_w8a8,
+        quantize_t5_int4,
+    )
+
+    def run_int8():
+        keep = model.params
+        model.params = quantize_flux_int8(keep)
+        try:
+            return run_config(model, spec, seed)[0]
+        finally:
+            model.params = keep
+
+    relgate("int8_weight_only", run_int8,
+            "the DEFAULT --quantize int8 serving mode (bench.py headline)")
+
     # --- w8a8: swap the param tree in place (the denoise jit takes params as
     # an argument, so the int8 tree just traces a new program) ---
-    from visualcloze_tpu.models.quant import quantize_flux_w8a8, quantize_t5_int4
-
     def run_w8a8():
         keep = model.params
         model.params = quantize_flux_w8a8(keep)

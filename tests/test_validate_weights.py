@@ -15,7 +15,7 @@ REPO_ROOT = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO_ROOT))
 
 GATE_NAMES = {
-    "conversion_fidelity", "psnr_vs_reference", "w8a8",
+    "conversion_fidelity", "psnr_vs_reference", "int8_weight_only", "w8a8",
     "cached:2", "cached:3", "int4_t5",
 }
 
@@ -44,7 +44,7 @@ def test_validate_weights_ci_end_to_end(tmp_path):
     assert gates["psnr_vs_reference"]["status"] == "SKIP"
     # CI reports the fast-mode gates as measured INFO (thresholds are
     # meaningless on random weights) with actionable flips
-    for name in ("w8a8", "cached:2", "cached:3", "int4_t5"):
+    for name in ("int8_weight_only", "w8a8", "cached:2", "cached:3", "int4_t5"):
         assert gates[name]["status"] == "INFO", name
         assert "dB" in gates[name]["value"], name
         assert gates[name]["flip"], name
