@@ -18,8 +18,17 @@ from visualcloze_tpu.pipeline.aot import AotJit, call_signature
 def _force_aot_on_cpu(monkeypatch):
     """The cpu backend disables AOT disk persistence by default (XLA:CPU
     loader unreliability — pipeline/aot.py docstring); these tests exercise
-    the disk machinery itself, so opt back in."""
+    the disk machinery itself, so opt back in. The persistent HLO cache
+    (tests/conftest.py) must be OFF here: an XLA:CPU executable compiled
+    through the HLO cache serializes to a blob whose reload dispatch-fails
+    ("Function <fusion> not found") — same loader bug, different trigger.
+    Production never hits the combination (forced CPU AOT is a test seam;
+    TPU blobs reload cleanly alongside the HLO cache)."""
     monkeypatch.setenv("VISUALCLOZE_AOT_FORCE", "1")
+    prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", prev)
 
 
 def f(p, x, scale):

@@ -209,6 +209,40 @@ def test_two_bucket_compile_shares_one_device_tree(tmp_path):
     np.testing.assert_allclose(got2, want2, rtol=1e-5, atol=1e-5)
 
 
+def test_bounded_inflight_stream_matches_unbounded(tmp_path):
+    """A tiny max_inflight_bytes forces the windowed-put path through every
+    block/dispatch interleaving; values, formats, and structure must match
+    the unbounded stream (the bound exists so a 12 GB tree never stages
+    2x in HBM — see device_put_with_formats docstring)."""
+    params = quantize_flux_int8(init_flux(jax.random.PRNGKey(5), CFG))
+    save_params_dir(params, str(tmp_path / "q"))
+    host = load_params_dir(str(tmp_path / "q"))
+    tree_a, _ = stream_params_dir(str(tmp_path / "q"), max_inflight_bytes=1)
+    tree_b = device_put_with_formats(host, jax.devices()[0], max_inflight_bytes=1)
+    tree_c, _ = stream_params_dir(str(tmp_path / "q"))
+    for a, b, c in zip(*(jax.tree.leaves(t) for t in (tree_a, tree_b, tree_c))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_synthetic_int8_device_matches_checkpoint_structure(tmp_path):
+    """build_synthetic_int8_params_device (resident-serving boot seam: zero
+    host->device bytes) builds the same tree structure + leaf shapes/dtypes
+    as the on-disk synthetic checkpoint."""
+    from visualcloze_tpu.pipeline.serving import build_synthetic_int8_params_device
+
+    build_synthetic_int8_checkpoint(CFG, str(tmp_path / "q"), seed=0)
+    host = load_params_dir(str(tmp_path / "q"))
+    dev = build_synthetic_int8_params_device(CFG, seed=0)
+    assert jax.tree.structure(host) == jax.tree.structure(dev)
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(host)[0],
+        jax.tree_util.tree_flatten_with_path(dev)[0],
+    ):
+        assert a.shape == b.shape, jax.tree_util.keystr(kp)
+        assert jnp.asarray(a).dtype == b.dtype, jax.tree_util.keystr(kp)
+
+
 def test_synthetic_int8_checkpoint_matches_quantized_structure(tmp_path):
     build_synthetic_int8_checkpoint(CFG, str(tmp_path / "q"), seed=0)
     host = load_params_dir(str(tmp_path / "q"))
