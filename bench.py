@@ -592,6 +592,255 @@ def bench_int8_full(ts, ts2) -> dict | None:
             "cold_compile_load": t_load}
 
 
+def bench_train_slice() -> dict | None:
+    """Phase X (VERDICT r5 #4): the LoRA train step, driver-captured — a
+    regression in the remat policy or the flash-attention VJP must move a
+    recorded number. Mirrors docs/PROFILE.md's dots_split measurement:
+    flagship width (3072/24 heads), 4+6 blocks (bf16 base + activations fit
+    16 GB), L=3584+512, bs=1, LoRA r128, fwd+bwd+AdamW+EMA in ONE jitted
+    program chaining INNER steps (tunnel-safe timing), with the FLOPs-linear
+    12B extrapolation reported alongside (same pattern as phase A)."""
+    import functools
+
+    from visualcloze_tpu.config import FluxConfig
+    from visualcloze_tpu.models.flux import init_flux
+    from visualcloze_tpu.models.lora import init_lora
+    from visualcloze_tpu.training import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from visualcloze_tpu.transport import create_transport
+
+    INNER = 4
+    depth, depth_single, bs, l_img, l_txt, rank = 4, 6, 1, 3584, 512, 128
+    try:
+        full_cfg = FluxConfig()
+        cfg = dataclasses.replace(
+            full_cfg, depth=depth, depth_single_blocks=depth_single
+        )
+        print("X) train step: compiling...", file=sys.stderr)
+        params = init_flux(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+        lora = init_lora(jax.random.PRNGKey(1), params, rank=rank)
+        transport = create_transport(
+            "Linear", "velocity", snr_type="lognorm", do_shift=True
+        )
+        opt = make_optimizer(lr=1e-4, grad_clip=2.0)
+        state = init_train_state(params, lora, opt, "lora", use_ema=True)
+        step = make_train_step(
+            cfg, transport, opt, "lora", attn_impl="auto", remat=True,
+            remat_policy="dots_split",
+        )
+        rng = np.random.default_rng(0)
+        batch = {
+            "x1": jnp.asarray(
+                rng.standard_normal((1, bs, l_img, cfg.out_channels)), jnp.bfloat16),
+            "cond": jnp.asarray(
+                rng.standard_normal(
+                    (1, bs, l_img, cfg.in_channels - cfg.out_channels)),
+                jnp.bfloat16),
+            "img_ids": jnp.zeros((1, bs, l_img, 3), jnp.float32),
+            "img_mask": jnp.ones((1, bs, l_img), jnp.int32),
+            "txt": jnp.asarray(
+                rng.standard_normal((1, bs, l_txt, cfg.context_in_dim)), jnp.bfloat16),
+            "txt_ids": jnp.zeros((1, bs, l_txt, 3), jnp.float32),
+            "txt_mask": jnp.ones((1, bs, l_txt), jnp.int32),
+            "vec": jnp.asarray(
+                rng.standard_normal((1, bs, cfg.vec_in_dim)), jnp.bfloat16),
+        }
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def chained(st, batch, key):
+            def body(carry, k):
+                s, _ = carry
+                s, metrics = step(s, batch, k)
+                return (s, metrics["loss"]), None
+
+            (s, loss), _ = jax.lax.scan(
+                body, (st, jnp.float32(0)), jax.random.split(key, INNER)
+            )
+            return s, loss
+
+        st, loss = chained(state, batch, jax.random.PRNGKey(2))
+        _ = float(np.asarray(loss))
+        times = []
+        for i in range(5):
+            t0 = time.perf_counter()
+            st, loss = chained(st, batch, jax.random.PRNGKey(3 + i))
+            _ = float(np.asarray(loss))
+            times.append((time.perf_counter() - t0) / INNER)
+        t = statistics.median(times)
+        fl = 3.0 * bs * dit_flops(cfg, l_img, l_txt)  # bwd ~2x fwd matmuls
+        full_fl = 3.0 * bs * dit_flops(full_cfg, l_img, l_txt)
+        mfu = fl / t / V5E_PEAK_BF16
+        extrap = t * full_fl / fl
+        print(
+            f"X) train step ({depth}+{depth_single} blocks, bs={bs}, "
+            f"L={l_img}+{l_txt}, LoRA r{rank}, dots_split remat): "
+            f"{t * 1e3:.1f} ms/step, MFU(3x-fwd) {mfu:.1%}; "
+            f"12B extrapolation {extrap * 1e3:.0f} ms/step",
+            file=sys.stderr,
+        )
+        del st, state, params, lora, batch, chained
+        _free()
+        return {"ms_per_step": t * 1e3, "mfu": mfu, "extrap_ms": extrap * 1e3}
+    except Exception as e:  # pragma: no cover - hardware dependent
+        print(f"X) train-step bench unavailable ({type(e).__name__}: {e})",
+              file=sys.stderr)
+        return None
+
+
+def _default_query_payload(res: int = 1024) -> dict:
+    """The reference-default serving request (SURVEY §3.2): a 2x3 grid with
+    the query cell masked, 30 steps + SDEdit upsampling — as JSON for
+    POST /v1/generate (pipeline/server.py schema). Cells are native-res
+    (1024^2) like real user photos: the grid stage resizes them to the
+    model resolution, while SDEdit stage 2 runs at the last-row cell's
+    ORIGINAL size (preprocessing.py:93-94) — the same 1024^2 bucket the
+    phase-sum headline times, so the HTTP number is comparable."""
+    import base64
+    import io
+
+    from PIL import Image
+
+    def cell(c):
+        buf = io.BytesIO()
+        Image.new("RGB", (res, res), c).save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode("ascii")
+
+    return {
+        "images": [
+            [cell((90, 140, 200)), cell((200, 90, 40)), cell((40, 180, 90))],
+            [cell((90, 140, 200)), cell((200, 90, 40)), None],
+        ],
+        "prompts": ["a 2x3 grid", "demo task", "a colored square"],
+        "grid_size": [2, 3],
+        "seed": 7,
+        "steps": STEPS,
+        "upsampling": True,
+        "upsampling_steps": STEPS2,
+        "upsampling_noise": NOISE2,
+    }
+
+
+def bench_resident_serving() -> dict | None:
+    """Phase S (VERDICT r5 #2 + #3): ONE resident serve.py process on the
+    real chip — 12B int8 DiT + int4 T5-XXL + CLIP + VAE co-resident
+    (synthetic weights, device-initialized: loader.synthetic_full_components)
+    — measured at the HTTP layer: boot-to-ready, single default-query
+    latency, and sustained throughput under 8 concurrent queries through
+    PipelinedServer (the numbers the phase-sum headline and the 1/latency
+    derivation previously stood in for).
+
+    MUST run before this process touches the TPU: one process per chip.
+    The subprocess is the proof — a separate OS process holding all
+    components resident and answering real POSTs."""
+    import json as _json
+    import socket
+    import subprocess
+    import threading
+    import urllib.request
+
+    if os.environ.get("BENCH_SKIP_SERVE"):
+        print("S) skipped (BENCH_SKIP_SERVE set)", file=sys.stderr)
+        return None
+    here = os.path.dirname(os.path.abspath(__file__))
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    os.makedirs("build", exist_ok=True)
+    log = open("build/serve_bench.log", "w")
+    print("S) booting resident serve.py --synthetic_full (device-side init; "
+          "compile via persistent caches)...", file=sys.stderr)
+    t_boot0 = time.perf_counter()
+    child = subprocess.Popen(
+        [sys.executable, os.path.join(here, "serve.py"), "--synthetic_full",
+         "--port", str(port), "--max_inflight", "2", "--max_queue", "16",
+         "--warmup_grids", "2x3", "--warmup_upsampling", "1024x1024"],
+        stdout=log, stderr=subprocess.STDOUT, cwd=here,
+    )
+
+    def url(path):
+        return f"http://127.0.0.1:{port}{path}"
+
+    def post(payload, timeout=900.0):
+        req = urllib.request.Request(
+            url("/v1/generate"), data=_json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return _json.loads(r.read())
+
+    try:
+        deadline = time.perf_counter() + 40 * 60  # cold XLA compile bound
+        while True:
+            if child.poll() is not None:
+                print(f"S) serve.py exited rc={child.returncode} during boot "
+                      "(build/serve_bench.log)", file=sys.stderr)
+                return None
+            try:
+                with urllib.request.urlopen(url("/healthz"), timeout=5) as r:
+                    if r.status == 200:
+                        break
+            except Exception:
+                pass
+            if time.perf_counter() > deadline:
+                print("S) boot timed out after 40 min", file=sys.stderr)
+                return None
+            time.sleep(5)
+        t_boot = time.perf_counter() - t_boot0
+
+        payload = _default_query_payload()
+        t0 = time.perf_counter()
+        first = post(payload)
+        t_first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        post(payload)
+        t_query = time.perf_counter() - t0
+
+        n = 8
+        results, lock = [], threading.Lock()
+
+        def worker(i):
+            q = dict(payload)
+            q["seed"] = 100 + i
+            t = time.perf_counter()
+            post(q)
+            with lock:
+                results.append(time.perf_counter() - t)
+
+        t0 = time.perf_counter()
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        t_wall = time.perf_counter() - t0
+        ips = n / t_wall
+        print(
+            f"S) resident serve.py (1 process, int8 DiT + int4 T5 + CLIP + "
+            f"VAE co-resident on 1 chip): boot-to-ready {t_boot:.0f}s, "
+            f"default query over HTTP {t_query:.2f}s (first after warmup "
+            f"{t_first:.2f}s); sustained {n} concurrent: {t_wall:.1f}s total "
+            f"-> {ips:.4f} img/s/chip HTTP-measured "
+            f"(per-request p50 {statistics.median(results):.1f}s under load)",
+            file=sys.stderr,
+        )
+        return {"boot": t_boot, "query": t_query, "first": t_first,
+                "throughput": ips, "concurrent": n}
+    except Exception as e:  # pragma: no cover - hardware dependent
+        print(f"S) resident serving unavailable ({type(e).__name__}: {e}); "
+              "see build/serve_bench.log", file=sys.stderr)
+        return None
+    finally:
+        child.terminate()
+        try:
+            child.wait(30)
+        except subprocess.TimeoutExpired:
+            child.kill()
+        log.close()
+
+
 def main() -> None:
     from visualcloze_tpu.config import (
         AutoEncoderConfig,
@@ -601,6 +850,10 @@ def main() -> None:
     )
     from visualcloze_tpu.ops.schedule import ode_timesteps
     from visualcloze_tpu.utils.cache import enable_compilation_cache
+
+    # FIRST and device-untouched in this process: the resident-serving proof
+    # needs the chip to itself (one process per chip)
+    serve_res = bench_resident_serving()
 
     enable_compilation_cache()
 
@@ -618,6 +871,7 @@ def main() -> None:
     t_enc2, t_dec2 = bench_vae_stage2()
     slice_res = bench_bf16_slice(ts)
     int8_res = bench_int8_full(ts, ts2)
+    train_res = bench_train_slice()
 
     ae_cfg, full_cfg = AutoEncoderConfig(), FluxConfig()
     text_fl = t5_flops(T5Config(), L_TXT) + clip_flops(CLIPTextConfig(), 77)
@@ -654,6 +908,21 @@ def main() -> None:
         den2 = den1 * (dit2_fl * n2) / (slice_res["full_flops"] * n1)
         kind = "FLOPs-extrapolated"
         e2e_w8 = None
+    if train_res is not None:
+        w8_note += (
+            f"; LoRA train step (4+6 slice, dots_split): "
+            f"{round(train_res['ms_per_step'], 1)} ms/step at "
+            f"{round(100 * train_res['mfu'], 1)}% MFU(3x-fwd), 12B extrap "
+            f"{round(train_res['extrap_ms'])} ms/step"
+        )
+    if serve_res is not None:
+        w8_note += (
+            f"; RESIDENT 1-process serve.py (int8 DiT + int4 T5 co-resident, "
+            f"synthetic weights): default query {round(serve_res['query'], 2)}s "
+            f"HTTP-measured, sustained {round(serve_res['throughput'], 4)} "
+            f"img/s/chip at {serve_res['concurrent']} concurrent, boot "
+            f"{round(serve_res['boot'])}s"
+        )
     e2e_base = t_text + t_vae + den1
     e2e_up = t_text + 2 * t_enc2 + den2 + t_dec2
     e2e = e2e_base + e2e_up

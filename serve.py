@@ -79,8 +79,20 @@ def parse_args(argv=None):
     p.add_argument("--warmup_grids", default="2x3",
                    help="comma list of HxW grids to pre-compile, e.g. 2x3,3x3"
                         " ('' skips warmup)")
+    p.add_argument("--warmup_upsampling", default="",
+                   help="comma list of WxH NATIVE query-cell sizes to "
+                        "pre-compile the SDEdit stage-2 bucket for (e.g. "
+                        "1024x1024 — stage 2 runs at the query cell's "
+                        "original size, not the grid resolution)")
     p.add_argument("--demo", action="store_true",
                    help="tiny random model, no checkpoints")
+    p.add_argument("--synthetic_full", action="store_true",
+                   help="FULL-SIZE random weights initialized on device "
+                        "(bench seam: proves the production single-chip "
+                        "residency — 12B int8 DiT + int4 T5 + CLIP + VAE on "
+                        "16 GB — and serves real queries without checkpoints; "
+                        "implies --t5_int4, the single-chip co-residency mode:"
+                        " pipeline.loader.synthetic_full_components)")
     return p.parse_args(argv)
 
 
@@ -121,6 +133,15 @@ def _add_adapters(model, args):
 
 
 def _build_model(args, mesh, attn_impl, seed=0):
+    if args.synthetic_full:
+        from visualcloze_tpu.pipeline import synthetic_full_components
+
+        model = synthetic_full_components(
+            jax.random.PRNGKey(seed), resolution=args.resolution,
+            attn_impl=attn_impl, solver=args.solver,
+        )
+        _add_adapters(model, args)
+        return model
     if args.demo:
         from visualcloze_tpu.pipeline import random_components
 
@@ -161,24 +182,36 @@ def _quantize_t5(model):
     from visualcloze_tpu.models.quant import quantize_t5_int4
 
     model.t5.params = quantize_t5_int4(model.t5.params)
+    if len(jax.devices()) == 1:
+        # single-chip co-residency (the point of --t5_int4): ~14 GiB resident
+        # leaves too little HBM for concurrently-enqueued programs' temps —
+        # serialize per-stage dispatch (pipeline/visualcloze.py hbm_serialize)
+        model.hbm_serialize = True
 
 
-def _warm_server(ps, model, shapes, steps: int):
+def _warm_server(ps, model, shapes, steps: int, upsampling_sizes=()):
     """Pre-compile the serving programs through the PipelinedServer path
     (device placement identical to real requests), one pass per grid shape
-    per distinct adapter jit signature."""
+    per distinct adapter jit signature. `upsampling_sizes` additionally
+    warms the SDEdit stage-2 bucket at those NATIVE cell sizes: stage 2
+    runs at the query cell's original resolution (preprocessing.py:93-94),
+    so a 384-res grid warmup alone leaves e.g. the 1024^2 bucket cold."""
     from PIL import Image
 
     res = model.resolution
+    cell_sizes = [(res, res)] + [
+        s for s in upsampling_sizes if s != (res, res)
+    ]
     for gh, gw in shapes:
-        blank = Image.new("RGB", (res, res), (0, 0, 0))
-        grid = [[blank] * gw for _ in range(gh)]
-        grid[-1][-1] = None
-        for adapter in model.adapter_warm_set():
-            ps.submit(
-                grid, ["warmup", "", ""], grid_size=(gh, gw), seed=1,
-                steps=steps, is_upsampling=True, adapter=adapter,
-            ).result()
+        for cw, ch in cell_sizes:
+            blank = Image.new("RGB", (cw, ch), (0, 0, 0))
+            grid = [[blank] * gw for _ in range(gh)]
+            grid[-1][-1] = None
+            for adapter in model.adapter_warm_set():
+                ps.submit(
+                    grid, ["warmup", "", ""], grid_size=(gh, gw), seed=1,
+                    steps=steps, is_upsampling=True, adapter=adapter,
+                ).result()
 
 
 def main(argv=None):
@@ -197,6 +230,10 @@ def main(argv=None):
         tuple(int(v) for v in g.split("x"))
         for g in args.warmup_grids.split(",") if g
     ] if args.warmup_grids else []
+    warm_upsampling = [
+        tuple(int(v) for v in s.split("x"))
+        for s in args.warmup_upsampling.split(",") if s
+    ] if args.warmup_upsampling else []
 
     replicas = []
     for r in range(args.replicas):
@@ -221,7 +258,8 @@ def main(argv=None):
             # program for the wrong device placement (first real request
             # recompiles) and co-locate T5-XXL + DiT on one chip — the exact
             # co-residency the disaggregated topology exists to avoid
-            _warm_server(ps, model, warm_shapes, steps=4 if args.demo else 30)
+            _warm_server(ps, model, warm_shapes, steps=4 if args.demo else 30,
+                         upsampling_sizes=warm_upsampling)
         replicas.append(ps)
     server = replicas[0] if args.replicas == 1 else ReplicaPool(replicas)
 

@@ -192,3 +192,42 @@ def test_calibration_is_rope_layout_invariant():
         np.testing.assert_allclose(
             np.asarray(x), np.asarray(y), rtol=1e-3, atol=1e-5
         )
+
+
+def test_hbm_serialize_is_output_identical():
+    """hbm_serialize (single-chip co-resident mode: per-stage device mutex +
+    one-element readback fences) is pure synchronization — byte-identical
+    outputs to the async default on the same seed."""
+    from visualcloze_tpu.pipeline import random_components
+
+    kw = dict(seed=5, steps=2, is_upsampling=True, upsampling_steps=2,
+              upsampling_noise=0.4)
+    grid = [[make_img(64, 64), None]]
+    prompts = ["layout", "", "content"]
+    m = random_components(jax.random.PRNGKey(0), tiny=True, resolution=64)
+    m.set_grid_size(1, 2)
+    want = m.process_images(grid, prompts, **kw)
+    m2 = random_components(jax.random.PRNGKey(0), tiny=True, resolution=64)
+    m2.hbm_serialize = True
+    m2.set_grid_size(1, 2)
+    got = m2.process_images(grid, prompts, **kw)
+    assert len(got) == len(want) == 1
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+
+
+def test_synthetic_full_components_tiny_serves_one_query():
+    """The resident-serving boot seam (serve.py --synthetic_full) at tiny
+    size: int8 device-init DiT + int4 T5 + unpermuted half rope layout must
+    serve a query end-to-end (full-size residency is proven on hardware by
+    bench.py's phase S)."""
+    from visualcloze_tpu.pipeline import synthetic_full_components
+
+    m = synthetic_full_components(
+        jax.random.PRNGKey(0), resolution=64, attn_impl="xla", tiny=True
+    )
+    m.set_grid_size(1, 2)
+    out = m.process_images(
+        [[make_img(64, 64), None]], ["layout", "", ""], seed=3, steps=2,
+        is_upsampling=False,
+    )
+    assert len(out) == 1 and out[0].size[0] >= 64

@@ -572,3 +572,21 @@ def test_quant_error_does_not_compound_over_denoise_trajectory():
         # (3x covers run-to-run spread; compounding would be ~steps-x = 12x)
         assert traj_rel < max(3.0 * call_rel, 0.01), (name, call_rel, traj_rel)
         assert traj_rel < 0.05, (name, traj_rel)
+
+
+def test_init_flux_int8_chunked_path_matches_structure(monkeypatch):
+    """Above _INIT_CHUNK_LIMIT, stacked leaves are generated one lead index
+    at a time into a donated buffer (one eager bits() call for a 2.5 GB leaf
+    transiently needs ~8 bytes/element — measured OOM on 16 GB); forcing the
+    limit to 0 must exercise that path and produce the same structure,
+    shapes, and dtypes, with per-index slices actually random."""
+    import visualcloze_tpu.models.quant as quant
+
+    base = init_flux_int8(jax.random.PRNGKey(0), CFG)
+    monkeypatch.setattr(quant, "_INIT_CHUNK_LIMIT", 0)
+    chunked = init_flux_int8(jax.random.PRNGKey(0), CFG)
+    assert jax.tree.structure(base) == jax.tree.structure(chunked)
+    for a, b in zip(jax.tree.leaves(base), jax.tree.leaves(chunked)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+    lin1 = np.asarray(chunked["single_blocks"]["linear1"]["w_int8"])
+    assert lin1.std() > 0 and not np.array_equal(lin1[0], lin1[1])

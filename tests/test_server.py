@@ -173,3 +173,64 @@ def test_wedged_backend_times_out_with_504():
         assert fe.queue_depth == 0  # slot released
     finally:
         httpd.shutdown()
+
+
+def test_serve_cli_smoke(tmp_path):
+    """serve.py end-to-end as a subprocess (the exact path bench.py's
+    resident-serving phase drives): boot --demo with grid + SDEdit-bucket
+    warmup, answer /healthz, serve one /v1/generate POST with an
+    upsampling-capable payload, exit cleanly."""
+    import os
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    log = open(tmp_path / "serve.log", "w")
+    child = subprocess.Popen(
+        [sys.executable, os.path.join(here, "serve.py"), "--demo",
+         "--port", str(port), "--warmup_grids", "1x2",
+         "--warmup_upsampling", "96x96", "--max_inflight", "2"],
+        stdout=log, stderr=subprocess.STDOUT, cwd=here, env=env,
+    )
+    url = f"http://127.0.0.1:{port}"
+    try:
+        deadline = time.time() + 900  # demo boot ~6 min on a contended 1-CPU box
+        while True:
+            assert child.poll() is None, (
+                f"serve.py died rc={child.returncode}: "
+                f"{(tmp_path / 'serve.log').read_text()[-2000:]}"
+            )
+            try:
+                with urllib.request.urlopen(url + "/healthz", timeout=5) as r:
+                    if r.status == 200:
+                        break
+            except (urllib.error.URLError, OSError):
+                pass
+            assert time.time() < deadline, "serve.py boot timed out"
+            time.sleep(2)
+        status, out = _post(url, {
+            "images": [[_b64((40, 90, 200)), None]],
+            "prompts": ["warm", "", "a square"],
+            "grid_size": [1, 2],
+            "seed": 3,
+            "steps": 4,
+            "upsampling": True,
+            "upsampling_steps": 4,
+            "upsampling_noise": 0.4,
+        })
+        assert status == 200, out
+        img = Image.open(io.BytesIO(base64.b64decode(out["images"][0])))
+        assert img.size[0] >= 64
+    finally:
+        child.terminate()
+        try:
+            child.wait(30)
+        except subprocess.TimeoutExpired:
+            child.kill()
+        log.close()

@@ -226,14 +226,14 @@ def test_bounded_inflight_stream_matches_unbounded(tmp_path):
 
 
 def test_synthetic_int8_device_matches_checkpoint_structure(tmp_path):
-    """build_synthetic_int8_params_device (resident-serving boot seam: zero
+    """models/quant.init_flux_int8 (resident-serving boot seam: zero
     host->device bytes) builds the same tree structure + leaf shapes/dtypes
     as the on-disk synthetic checkpoint."""
-    from visualcloze_tpu.pipeline.serving import build_synthetic_int8_params_device
+    from visualcloze_tpu.models.quant import init_flux_int8
 
     build_synthetic_int8_checkpoint(CFG, str(tmp_path / "q"), seed=0)
     host = load_params_dir(str(tmp_path / "q"))
-    dev = build_synthetic_int8_params_device(CFG, seed=0)
+    dev = init_flux_int8(jax.random.PRNGKey(0), CFG)
     assert jax.tree.structure(host) == jax.tree.structure(dev)
     for (kp, a), (_, b) in zip(
         jax.tree_util.tree_flatten_with_path(host)[0],

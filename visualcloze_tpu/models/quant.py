@@ -15,10 +15,12 @@ and is dispatched by models/layers.linear.
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Params = dict[str, Any]
 
@@ -58,6 +60,35 @@ def quantize_flux_int8(params: Params) -> Params:
     return walk(params)
 
 
+# threefry materializes uint32 counters + outputs for the whole request
+# (~8 BYTES per uint8 drawn): one eager bits() call for the stacked
+# single_blocks.linear1 leaf (38 x 3072 x 21504 = 2.5 GB int8) would
+# transiently need ~20 GB — measured OOM on a 16 GB chip. init_flux_int8
+# therefore generates stacked leaves above this byte limit ONE LEAD INDEX
+# AT A TIME into a donated buffer: peak transient = one slice's temps.
+_INIT_CHUNK_LIMIT = 256 << 20
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _set_slice(buf, i, s):
+    return jax.lax.dynamic_update_index_in_dim(buf, s, i, 0)
+
+
+def _rand_bits_int8(k, shape, lead=()):
+    if not lead or int(np.prod(lead)) * int(np.prod(shape)) <= _INIT_CHUNK_LIMIT:
+        bits = jax.random.bits(k, (*lead, *shape), dtype=jnp.uint8)
+        return jax.lax.bitcast_convert_type(bits, jnp.int8)
+    assert len(lead) == 1
+    buf = jnp.zeros((*lead, *shape), jnp.int8)
+    for i in range(lead[0]):
+        s = jax.lax.bitcast_convert_type(
+            jax.random.bits(jax.random.fold_in(k, i), shape, dtype=jnp.uint8),
+            jnp.int8,
+        )
+        buf = _set_slice(buf, i, s)
+    return buf
+
+
 def init_flux_int8(key: jax.Array, cfg, seed_scale: float = 0.02) -> Params:
     """Random int8-quantized Flux params built directly on device (no fp32
     intermediates — a 12B fp32 tree would not fit host/device memory).
@@ -73,13 +104,8 @@ def init_flux_int8(key: jax.Array, cfg, seed_scale: float = 0.02) -> Params:
 
     def rand_qlin(k, d_in, d_out, bias=True, lead=()):
         k1, _ = jax.random.split(k)
-        # random.bits(uint8) + bitcast: randint would materialize uint32
-        # temps (4x the int8 size) — enough to OOM a 16 GB chip during the
-        # 12 GB tree's initialization
-        bits = jax.random.bits(k1, (*lead, d_in, d_out), dtype=jnp.uint8)
-        w8 = jax.lax.bitcast_convert_type(bits, jnp.int8)
         p = {
-            "w_int8": w8,
+            "w_int8": _rand_bits_int8(k1, (d_in, d_out), lead),
             "w_scale": jnp.full((*lead, d_out), seed_scale * d_in ** -0.5 / 127.0, jnp.float32),
         }
         if bias:

@@ -1,5 +1,5 @@
 from .visualcloze import VisualClozeModel
-from .loader import build_visualcloze, random_components
+from .loader import build_visualcloze, random_components, synthetic_full_components
 from .orchestrator import PipelinedServer, ReplicaPool
 from .diffusers_api import VisualClozePipeline, VisualClozePipelineOutput
 from . import preprocessing
@@ -10,6 +10,7 @@ __all__ = [
     "VisualClozePipelineOutput",
     "build_visualcloze",
     "random_components",
+    "synthetic_full_components",
     "PipelinedServer",
     "ReplicaPool",
     "preprocessing",

@@ -315,3 +315,71 @@ def _tiny_tokenizer(vocab_size: int):
     from ..models.conditioner import FallbackTokenizer
 
     return FallbackTokenizer(vocab_size)
+
+
+def synthetic_full_components(
+    key: jax.Array,
+    resolution: int = 384,
+    attn_impl: str = "auto",
+    solver: str = "euler",
+    t5_int4: bool = True,
+    tiny: bool = False,
+) -> VisualClozeModel:
+    """FULL-SIZE serving stack with random weights initialized ON DEVICE —
+    the resident-serving bench seam (serve.py --synthetic_full): proves one
+    process can hold the production single-chip topology (12B int8 DiT +
+    int4 T5-XXL + CLIP-L + VAE co-resident on 16 GB) and serve real HTTP
+    queries, without FLUX checkpoints in the environment and without
+    streaming ~12 GB over a slow host link.
+
+    HBM sequencing: T5 bf16 (~9.5 GB) is initialized and int4-quantized
+    (~2.4 GB) BEFORE the 12 GB DiT exists, so the transient peak is
+    ~12 GB, not ~21. t5_int4=False keeps T5 bf16 — only viable with >=2
+    chips or >16 GB HBM (docs/SERVING.md serving topology).
+
+    tiny=True shrinks every config (random_components' dimensions) so the
+    wiring — int8 DiT + int4 T5 + unpermuted half layout — is testable on
+    CPU; serve.py always uses the full size."""
+    import dataclasses
+
+    from ..models.quant import init_flux_int8, quantize_t5_int4
+
+    if tiny:
+        flux_cfg, ae_cfg = FluxConfig().tiny(), AutoEncoderConfig().tiny()
+        t5_cfg, clip_cfg = T5Config().tiny(), CLIPTextConfig().tiny()
+        flux_cfg = dataclasses.replace(
+            flux_cfg,
+            in_channels=4 * ae_cfg.z_channels + 256 + 4 * ae_cfg.z_channels,
+            out_channels=4 * ae_cfg.z_channels,
+            vec_in_dim=clip_cfg.hidden_size,
+            context_in_dim=t5_cfg.d_model,
+        )
+    else:
+        flux_cfg = FluxConfig()
+        ae_cfg, t5_cfg, clip_cfg = AutoEncoderConfig(), T5Config(), CLIPTextConfig()
+    ks = jax.random.split(key, 4)
+    t5_params = init_t5(ks[0], t5_cfg, dtype=jnp.bfloat16)
+    if t5_int4:
+        q = quantize_t5_int4(t5_params)
+        del t5_params  # free the bf16 blocks before the DiT allocates
+        t5_params = q
+    flux_params = init_flux_int8(ks[1], flux_cfg)
+    ae = AutoEncoder(ae_cfg, init_autoencoder(ks[2], ae_cfg, dtype=jnp.bfloat16))
+    t5 = TextEncoder(
+        "t5", t5_cfg, t5_params, _tiny_tokenizer(t5_cfg.vocab_size), t5_cfg.max_length
+    )
+    clip = TextEncoder(
+        "clip", clip_cfg, init_clip(ks[3], clip_cfg, dtype=jnp.bfloat16),
+        _tiny_tokenizer(clip_cfg.vocab_size), clip_cfg.max_length,
+    )
+    return VisualClozeModel(
+        flux_cfg, flux_params, ae, t5, clip, resolution=resolution,
+        solver=solver, attn_impl=attn_impl, rope_layout="half",
+        # random weights: any channel order is already a valid half layout;
+        # permuting would round-trip the device tree through the host link
+        permute_params=False,
+        # ~14 GiB resident on one 16 GiB chip: serialize per-stage program
+        # dispatch so concurrent temp reservations cannot exhaust the
+        # remaining HBM (visualcloze.py hbm_serialize)
+        hbm_serialize=not tiny,
+    )

@@ -405,33 +405,7 @@ def build_synthetic_int8_checkpoint(cfg, path: str, seed: int = 0) -> None:
     save_params_dir(_synthetic_int8_tree(cfg, qlin, qnorm), path)
 
 
-def build_synthetic_int8_params_device(cfg, seed: int = 0):
-    """Random int8-quantized full-size Flux tree initialized ON DEVICE —
-    zero host->device transfer (bench seam for the resident-serving phase:
-    over a slow host link, device-side init makes a full-size server boot
-    in seconds instead of streaming ~12 GB). Same structure as
-    build_synthetic_int8_checkpoint."""
-    import jax.numpy as jnp
-
-    counter = [0]
-
-    def key():
-        counter[0] += 1
-        return jax.random.fold_in(jax.random.PRNGKey(seed), counter[0])
-
-    def qlin(d_in, d_out, bias=True, lead=()):
-        p = {
-            "w_int8": jax.random.randint(
-                key(), (*lead, d_in, d_out), -127, 128, dtype=jnp.int8),
-            "w_scale": jnp.full(
-                (*lead, d_out), 0.02 * d_in**-0.5 / 127.0, jnp.float32),
-        }
-        if bias:
-            p["b"] = jnp.zeros((*lead, d_out), jnp.bfloat16)
-        return p
-
-    def qnorm(lead):
-        one = jnp.ones((*lead, cfg.head_dim), jnp.bfloat16)
-        return {"q_scale": one, "k_scale": one}
-
-    return _synthetic_int8_tree(cfg, qlin, qnorm)
+# On-device random int8 init (zero host->device transfer — fast full-size
+# server boots over slow links): models/quant.init_flux_int8. Structure
+# parity with this module's on-disk checkpoint is tested in
+# tests/test_serving.py.

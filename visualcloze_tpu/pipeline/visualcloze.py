@@ -17,7 +17,9 @@ TPU-first design points:
 
 from __future__ import annotations
 
+import contextlib
 import functools
+import threading
 from typing import Any, Sequence
 
 import jax
@@ -74,9 +76,16 @@ class VisualClozeModel:
         rope_layout: str = "half",
         adapters: dict[str, dict] | None = None,
         lora_scale: float = 1.0,
+        permute_params: bool = True,
+        hbm_serialize: bool = False,
     ):
         self.cfg = flux_cfg
-        if rope_layout == "half":
+        # permute_params=False: the caller guarantees flux_params already sit
+        # in `rope_layout`'s channel order (checkpoint pre-permuted offline,
+        # or random synthetic weights where any order IS a valid half layout)
+        # — the permutation is a HOST-side pass, so skipping it keeps a
+        # device-initialized 12 GB tree from round-tripping the host link.
+        if rope_layout == "half" and permute_params:
             from ..models.weights import permute_rope_layout
 
             flux_params = permute_rope_layout(flux_params, flux_cfg)
@@ -100,6 +109,19 @@ class VisualClozeModel:
         self.max_length = max_length
         self.grid_h: int | None = None
         self.grid_w: int | None = None
+        # Single-chip co-resident topology (int8 DiT + int4 T5 + CLIP + VAE
+        # ~= 14 GiB on a 16 GiB chip): every enqueued XLA program reserves
+        # its temp buffers at DISPATCH time, so back-to-back async enqueues
+        # (two VAE encodes + T5 inside one prepare, or prepare overlapping a
+        # denoise from another PipelinedServer thread) SUM their scratch and
+        # blow the ~2 GiB of free HBM — measured RESOURCE_EXHAUSTED while
+        # each program runs fine alone. hbm_serialize=True makes each stage
+        # (a) take a process-wide device mutex and (b) fence (one-element
+        # readback) before releasing it, so at most one program's temps are
+        # ever live. Costs only tunnel RTTs: the chip serializes program
+        # EXECUTION anyway, so steady-state throughput is unchanged.
+        self.hbm_serialize = hbm_serialize
+        self._device_mutex = threading.Lock()
 
         # AotJit == jax.jit until enable_aot() is called (serving daemons):
         # then each (bucket, adapter-signature) executable is serialized to
@@ -133,6 +155,23 @@ class VisualClozeModel:
 
     def _ae_with(self, params):
         return AutoEncoder(self.ae.cfg, params)
+
+    def _exclusive(self):
+        """Device mutex for hbm_serialize mode (no-op context otherwise)."""
+        return self._device_mutex if self.hbm_serialize else contextlib.nullcontext()
+
+    def _fence(self, x) -> None:
+        """hbm_serialize: force the program that produces `x` to finish (and
+        its temps to be released) before the caller enqueues the next one.
+        A one-element READBACK, not block_until_ready — over a buffering
+        transport (axon tunnel) the latter can acknowledge at enqueue."""
+        if not self.hbm_serialize:
+            return
+        leaf = next(
+            (l for l in jax.tree_util.tree_leaves(x) if hasattr(l, "dtype")), None
+        )
+        if leaf is not None:
+            np.asarray(jax.device_get(jnp.ravel(leaf)[:1]))
 
     def add_adapter(self, name: str, lora: dict) -> None:
         """Register a runtime LoRA adapter (tree from models.lora.init_lora /
@@ -313,8 +352,10 @@ class VisualClozeModel:
 
     def decode_latent(self, z: jnp.ndarray) -> np.ndarray:
         """(1, h, w, 16) scaled latent -> (H, W, 3) pixels in [0,1]."""
-        x = self._decode_jit(self.ae.params, z)
-        return np.asarray((np.asarray(x[0], np.float32) + 1.0) / 2.0)
+        with self._exclusive():
+            # the full np.asarray readback doubles as the fence here
+            x = self._decode_jit(self.ae.params, z)
+            return np.asarray((np.asarray(x[0], np.float32) + 1.0) / 2.0)
 
     def process_images(
         self,
@@ -376,30 +417,39 @@ class VisualClozeModel:
 
         # VAE-encode each row; pack cond latent + mask -> img_cond (1, L, 320)
         cond_tokens, mask_tokens, noise_rows, sizes = [], [], [], []
-        for i, (row, mask) in enumerate(zip(row_images, row_masks)):
-            key, ek, nk = jax.random.split(key, 3)
-            lat = self.encode_row(row, ek)  # (1, h, w, 16)
-            cond_tokens.append(patchify(lat.astype(jnp.bfloat16))[0])
-            mask_tokens.append(pack_mask(jnp.asarray(mask)[None].astype(jnp.bfloat16))[0])
-            h, w = row.shape[:2]
-            sizes.append((h, w))
-            noise = jax.random.normal(nk, lat.shape, dtype=jnp.float32)
-            noise_rows.append(noise.astype(jnp.bfloat16))
-        img_cond = jnp.concatenate(
-            [jnp.concatenate(cond_tokens, axis=0), jnp.concatenate(mask_tokens, axis=0)],
-            axis=-1,
-        )[None]
+        with self._exclusive():
+            for i, (row, mask) in enumerate(zip(row_images, row_masks)):
+                key, ek, nk = jax.random.split(key, 3)
+                lat = self.encode_row(row, ek)  # (1, h, w, 16)
+                self._fence(lat)
+                cond_tokens.append(patchify(lat.astype(jnp.bfloat16))[0])
+                mask_tokens.append(
+                    pack_mask(jnp.asarray(mask)[None].astype(jnp.bfloat16))[0]
+                )
+                h, w = row.shape[:2]
+                sizes.append((h, w))
+                noise = jax.random.normal(nk, lat.shape, dtype=jnp.float32)
+                noise_rows.append(noise.astype(jnp.bfloat16))
+            img_cond = jnp.concatenate(
+                [
+                    jnp.concatenate(cond_tokens, axis=0),
+                    jnp.concatenate(mask_tokens, axis=0),
+                ],
+                axis=-1,
+            )[None]
 
-        true_len = sum(h * w // 256 for (h, w) in sizes)
-        # bucket to the 128 lane width only: the flash kernel pads internally
-        # to block multiples with bounded waste (_choose_block), so the rest
-        # of the model runs at the minimal token count — the flagship 2x3
-        # grid (3456 img + 512 txt = 3968) carries zero bucket padding where
-        # a 512-bucket added 128 dead tokens to every matmul
-        inp = prepare_modified(
-            self.t5, self.clip, [noise_rows], [" ".join(prompts)],
-            proportion_empty_prompts=0.0, bucket=128,
-        )
+            true_len = sum(h * w // 256 for (h, w) in sizes)
+            # bucket to the 128 lane width only: the flash kernel pads
+            # internally to block multiples with bounded waste
+            # (_choose_block), so the rest of the model runs at the minimal
+            # token count — the flagship 2x3 grid (3456 img + 512 txt = 3968)
+            # carries zero bucket padding where a 512-bucket added 128 dead
+            # tokens to every matmul
+            inp = prepare_modified(
+                self.t5, self.clip, [noise_rows], [" ".join(prompts)],
+                proportion_empty_prompts=0.0, bucket=128,
+            )
+            self._fence(inp["txt"])
         if inp["img"].shape[1] > true_len:
             # pad img_cond to the bucketed length too
             pad = inp["img"].shape[1] - true_len
@@ -440,12 +490,15 @@ class VisualClozeModel:
     def denoise_query(self, q: dict[str, Any]) -> jnp.ndarray:
         """Stage D (DiT chip): the compiled 30-step rectified-flow loop."""
         lora = self._resolve_adapter(q.get("adapter"))
-        return self._denoise_jit(
-            self.params, lora, self.lora_scale if lora is not None else 1.0,
-            q["x"], q["ts"], q["img_cond"], q["txt"], q["txt_ids"], q["txt_mask"],
-            q["vec"], q["img_ids"], q["img_mask"], q["guidance"],
-            method=self.solver,
-        )
+        with self._exclusive():
+            out = self._denoise_jit(
+                self.params, lora, self.lora_scale if lora is not None else 1.0,
+                q["x"], q["ts"], q["img_cond"], q["txt"], q["txt_ids"],
+                q["txt_mask"], q["vec"], q["img_ids"], q["img_mask"],
+                q["guidance"], method=self.solver,
+            )
+            self._fence(out)
+        return out
 
     def finalize_query(
         self,
@@ -548,19 +601,25 @@ class VisualClozeModel:
 
         arr = pp.image_to_array(image)
         key, ek, bk, nk = jax.random.split(key, 4)
-        latent = self.encode_row(arr, ek)
-        blank = self.encode_row(np.zeros_like(arr), bk)
-        h, w = arr.shape[:2]
-        mask = pack_mask(jnp.ones((1, h, w), jnp.bfloat16))
-        latent_tok = patchify(latent.astype(jnp.bfloat16))
-        blank_tok = patchify(blank.astype(jnp.bfloat16))
-        img_cond = jnp.concatenate([blank_tok, mask], axis=-1)
+        with self._exclusive():
+            latent = self.encode_row(arr, ek)
+            self._fence(latent)
+            blank = self.encode_row(np.zeros_like(arr), bk)
+            self._fence(blank)
+            h, w = arr.shape[:2]
+            mask = pack_mask(jnp.ones((1, h, w), jnp.bfloat16))
+            latent_tok = patchify(latent.astype(jnp.bfloat16))
+            blank_tok = patchify(blank.astype(jnp.bfloat16))
+            img_cond = jnp.concatenate([blank_tok, mask], axis=-1)
 
-        noise = jax.random.normal(nk, latent.shape, dtype=jnp.float32).astype(jnp.bfloat16)
-        inp = prepare_modified(
-            self.t5, self.clip, [[noise]], [content_prompt],
-            proportion_empty_prompts=0.0, bucket=128,
-        )
+            noise = jax.random.normal(
+                nk, latent.shape, dtype=jnp.float32
+            ).astype(jnp.bfloat16)
+            inp = prepare_modified(
+                self.t5, self.clip, [[noise]], [content_prompt],
+                proportion_empty_prompts=0.0, bucket=128,
+            )
+            self._fence(inp["txt"])
         true_len = latent_tok.shape[1]
         if inp["img"].shape[1] > true_len:
             pad = inp["img"].shape[1] - true_len
