@@ -179,9 +179,10 @@ def _build_model(args, mesh, attn_impl, seed=0):
 
 
 def _quantize_t5(model):
-    from visualcloze_tpu.models.quant import quantize_t5_int4
+    from visualcloze_tpu.models.quant import quantize_clip_int8, quantize_t5_int4
 
-    model.t5.params = quantize_t5_int4(model.t5.params)
+    model.t5.params = quantize_t5_int4(model.t5.params, quantize_embed=True)
+    model.clip.params = quantize_clip_int8(model.clip.params)
     if len(jax.devices()) == 1:
         # single-chip co-residency (the point of --t5_int4): ~14 GiB resident
         # leaves too little HBM for concurrently-enqueued programs' temps —

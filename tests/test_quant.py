@@ -590,3 +590,112 @@ def test_init_flux_int8_chunked_path_matches_structure(monkeypatch):
         assert a.shape == b.shape and a.dtype == b.dtype
     lin1 = np.asarray(chunked["single_blocks"]["linear1"]["w_int8"])
     assert lin1.std() > 0 and not np.array_equal(lin1[0], lin1[1])
+
+
+def test_quantize_embedding_int8_near_lossless():
+    """Per-row int8 lookup tables: gather+dequant matches the fp table to
+    <0.5% per row (each row keeps its own dynamic range)."""
+    from visualcloze_tpu.models.quant import (
+        embedding_lookup,
+        quantize_embedding_int8,
+    )
+
+    emb = jnp.asarray(
+        np.random.default_rng(0).standard_normal((64, 48)) *
+        np.logspace(-2, 1, 64)[:, None],  # rows spanning 3 orders of magnitude
+        jnp.float32,
+    )
+    q = quantize_embedding_int8(emb)
+    assert q["w_int8"].dtype == jnp.int8 and q["w_scale"].shape == (64, 1)
+    ids = jnp.asarray([[0, 3, 63, 17], [5, 5, 62, 1]])
+    got = np.asarray(embedding_lookup(q, ids, dtype=jnp.float32))
+    want = np.asarray(emb)[np.asarray(ids)]
+    rel = np.abs(got - want).max(axis=-1) / np.abs(want).max(axis=-1)
+    assert rel.max() < 0.005, rel.max()
+    # plain arrays pass through untouched
+    np.testing.assert_array_equal(
+        np.asarray(embedding_lookup(emb, ids)), want
+    )
+
+
+def test_t5_encode_int4_with_int8_embed():
+    """quantize_embed=True (co-resident topology) adds only the per-row
+    table noise on top of the int4 block error."""
+    from visualcloze_tpu.config import T5Config
+    from visualcloze_tpu.models.quant import quantize_t5_int4
+    from visualcloze_tpu.models.t5 import init_t5, t5_encode
+
+    cfg = T5Config().tiny()
+    params = init_t5(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    ids = jnp.asarray(np.random.default_rng(1).integers(0, cfg.vocab_size, (2, 12)))
+    base = np.asarray(t5_encode(cfg, quantize_t5_int4(params), ids))
+    got = np.asarray(
+        t5_encode(cfg, quantize_t5_int4(params, quantize_embed=True), ids)
+    )
+    assert np.isfinite(got).all()
+    rel = np.linalg.norm(got - base) / np.linalg.norm(base)
+    assert rel < 0.05, rel  # embed int8 noise ~0.4%/row, amplified by blocks
+
+
+def test_clip_encode_int8():
+    """quantize_clip_int8 halves the tree and stays close to the bf16
+    baseline on the pooled output (the only tensor FLUX consumes)."""
+    from visualcloze_tpu.config import CLIPTextConfig
+    from visualcloze_tpu.models.clip import clip_encode, init_clip
+    from visualcloze_tpu.models.quant import quantize_clip_int8
+
+    cfg = CLIPTextConfig().tiny()
+    params = init_clip(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    ids = np.random.default_rng(2).integers(1, cfg.vocab_size - 1, (2, cfg.max_length))
+    ids[:, -1] = cfg.vocab_size - 1  # EOT
+    ids = jnp.asarray(ids)
+    _, ref = clip_encode(cfg, params, ids)
+    q = quantize_clip_int8(params)
+    nbytes = lambda t: sum(x.nbytes for x in jax.tree.leaves(t))
+    assert nbytes(q) < 0.62 * nbytes(params)
+    _, got = clip_encode(cfg, q, ids)
+    ref, got = np.asarray(ref), np.asarray(got)
+    assert np.isfinite(got).all()
+    cos = (ref * got).sum() / (np.linalg.norm(ref) * np.linalg.norm(got))
+    assert cos > 0.99, cos
+
+
+def test_init_t5_int4_matches_quantized_structure():
+    """The direct quantized init (single-chip boot seam: peak HBM == resident
+    HBM) must mirror quantize_t5_int4(init_t5(...), quantize_embed=True)
+    leaf for leaf, and run through t5_encode."""
+    from visualcloze_tpu.config import T5Config
+    from visualcloze_tpu.models.quant import init_t5_int4, quantize_t5_int4
+    from visualcloze_tpu.models.t5 import init_t5, t5_encode
+
+    cfg = T5Config().tiny()
+    direct = init_t5_int4(jax.random.PRNGKey(0), cfg)
+    ref = quantize_t5_int4(
+        init_t5(jax.random.PRNGKey(1), cfg, dtype=jnp.bfloat16),
+        quantize_embed=True,
+    )
+    ld, lr = jax.tree.leaves_with_path(direct), jax.tree.leaves_with_path(ref)
+    assert [p for p, _ in ld] == [p for p, _ in lr]
+    for (p, a), (_, b) in zip(ld, lr):
+        assert a.shape == b.shape and a.dtype == b.dtype, (p, a.shape, b.shape)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, cfg.vocab_size, (2, 12)))
+    out = np.asarray(t5_encode(cfg, direct, ids), np.float32)
+    assert np.isfinite(out).all() and out.std() > 0
+
+
+def test_init_clip_int8_matches_quantized_structure():
+    from visualcloze_tpu.config import CLIPTextConfig
+    from visualcloze_tpu.models.clip import clip_encode, init_clip
+    from visualcloze_tpu.models.quant import init_clip_int8, quantize_clip_int8
+
+    cfg = CLIPTextConfig().tiny()
+    direct = init_clip_int8(jax.random.PRNGKey(0), cfg)
+    ref = quantize_clip_int8(init_clip(jax.random.PRNGKey(1), cfg, dtype=jnp.bfloat16))
+    ld, lr = jax.tree.leaves_with_path(direct), jax.tree.leaves_with_path(ref)
+    assert [p for p, _ in ld] == [p for p, _ in lr]
+    for (p, a), (_, b) in zip(ld, lr):
+        assert a.shape == b.shape and a.dtype == b.dtype, (p, a.shape, b.shape)
+    ids = np.random.default_rng(1).integers(1, cfg.vocab_size - 1, (2, cfg.max_length))
+    ids[:, -1] = cfg.vocab_size - 1
+    h, pooled = clip_encode(cfg, direct, jnp.asarray(ids))
+    assert np.isfinite(np.asarray(pooled, np.float32)).all()

@@ -29,7 +29,11 @@ def _layer_norm(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 
 def _linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.einsum("...i,io->...o", x, p["w"].astype(x.dtype)) + p["b"].astype(x.dtype)
+    if "w_int8" in p:  # quant.quantize_clip_int8: per-out-channel scales
+        w = p["w_int8"].astype(x.dtype) * p["w_scale"].astype(x.dtype)
+    else:
+        w = p["w"].astype(x.dtype)
+    return jnp.einsum("...i,io->...o", x, w) + p["b"].astype(x.dtype)
 
 
 def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
@@ -40,8 +44,11 @@ def clip_encode(
     cfg: CLIPTextConfig, params: Params, input_ids: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """input_ids (B, L) -> (last_hidden_state (B, L, D), pooled (B, D))."""
+    from .quant import embedding_lookup
+
     b, L = input_ids.shape
-    h = params["token_embed"][input_ids] + params["pos_embed"][:L]
+    tok = embedding_lookup(params["token_embed"], input_ids)
+    h = tok + params["pos_embed"][:L].astype(tok.dtype)
     heads, hd = cfg.num_heads, cfg.hidden_size // cfg.num_heads
     causal = jnp.triu(jnp.full((L, L), -1e9, jnp.float32), k=1)
 

@@ -370,6 +370,49 @@ def dequant_weight_int4(entry: Params, dtype=jnp.bfloat16) -> jnp.ndarray:
     return wf.reshape(*lead, din, dout).astype(dtype)
 
 
+def quantize_embedding_int8(emb: jnp.ndarray) -> Params:
+    """Lookup table (V, d) -> {"w_int8": (V, d) int8, "w_scale": (V, 1)
+    fp32}: symmetric per-ROW (per-token) scaling. Embeddings are gathered,
+    not matmul'd, so the dequant is one multiply per looked-up row —
+    near-lossless (each row keeps its own dynamic range) and halves the
+    table's footprint for the single-chip co-resident topology."""
+    ef = emb.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(ef), axis=-1, keepdims=True), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(ef / scale), -127, 127).astype(jnp.int8)
+    return {"w_int8": q, "w_scale": scale}
+
+
+def embedding_lookup(emb, input_ids: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Gather rows from a plain (V, d) table or a quantize_embedding_int8
+    dict; int8 rows are dequantized AFTER the gather (B*L rows, not V)."""
+    if isinstance(emb, dict):
+        rows = emb["w_int8"][input_ids].astype(dtype)
+        return rows * emb["w_scale"][input_ids].astype(dtype)
+    return emb[input_ids]
+
+
+def quantize_clip_int8(params: Params) -> Params:
+    """int8 weight-only CLIP-L text encoder: per-output-channel scales on
+    every block linear + per-row scales on the token table (~0.23 GiB ->
+    ~0.12). CLIP contributes one 77-token pass per query, so like int4 T5
+    only capacity matters; models/clip._linear dequantizes per call."""
+    out = dict(params)
+    out["token_embed"] = quantize_embedding_int8(params["token_embed"])
+
+    def qlin(p):
+        w = p["w"].astype(jnp.float32)
+        scale = jnp.maximum(jnp.max(jnp.abs(w), axis=-2, keepdims=True), 1e-8) / 127.0
+        q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+        return {"w_int8": q, "w_scale": scale[..., 0, :], "b": p["b"]}
+
+    blocks = dict(params["blocks"])
+    blocks["attn"] = {k: qlin(v) for k, v in params["blocks"]["attn"].items()}
+    blocks["fc1"] = qlin(params["blocks"]["fc1"])
+    blocks["fc2"] = qlin(params["blocks"]["fc2"])
+    out["blocks"] = blocks
+    return out
+
+
 def quantize_flux_int4(params: Params, group: int = INT4_GROUP) -> Params:
     """int4-quantize every linear weight of a Flux pytree (mirrors
     quantize_flux_int8; ~6 GB for the 12B model). Capacity mode — DiT
@@ -387,12 +430,18 @@ def quantize_flux_int4(params: Params, group: int = INT4_GROUP) -> Params:
     return walk(params)
 
 
-def quantize_t5_int4(params: Params, group: int = INT4_GROUP) -> Params:
+def quantize_t5_int4(
+    params: Params, group: int = INT4_GROUP, quantize_embed: bool = False
+) -> Params:
     """int4-quantize the T5 block matmul weights (stacked (L, in, out)
-    leaves); the embedding, norms, and relative bias keep their dtype.
+    leaves); norms and relative bias keep their dtype. quantize_embed=True
+    additionally int8-quantizes the (V, d) token table per row (the
+    single-chip co-resident topology squeezes another ~0.12 GiB there).
     models/t5.t5_encode dequantizes per block inside its scan, so peak HBM is
     the int4 tree + one block's bf16 weights (~390 MB for T5-XXL)."""
     out = dict(params)
+    if quantize_embed:
+        out["embed"] = quantize_embedding_int8(params["embed"])
     blocks = dict(params["blocks"])
     attn = dict(blocks["attn"])
     ffn = dict(blocks["ffn"])
@@ -404,3 +453,114 @@ def quantize_t5_int4(params: Params, group: int = INT4_GROUP) -> Params:
     blocks["ffn"] = ffn
     out["blocks"] = blocks
     return out
+
+
+def _int4_group_for(din: int, group: int = INT4_GROUP) -> int:
+    """Mirror quantize_weight_int4's group-shrinking so directly-initialized
+    int4 trees carry the exact scale shapes the quantizer would produce."""
+    while din % group or group % 2:
+        group //= 2
+    assert group >= 2, (din, group)
+    return group
+
+
+def _rand_embed_int8(k, vocab: int, d: int, std: float) -> Params:
+    return {
+        "w_int8": _rand_bits_int8(k, (vocab, d)),
+        "w_scale": jnp.full((vocab, 1), std / 127.0, jnp.float32),
+    }
+
+
+def init_t5_int4(key: jax.Array, cfg, quantize_embed: bool = True) -> Params:
+    """Random int4-quantized T5 built directly on device: peak HBM equals the
+    final ~2.5 GB tree. The init_t5 -> quantize_t5_int4 route transiently
+    holds the 9.2 GB bf16 tree PLUS fp32 quantization temps, which cannot
+    co-reside with the int8 12B DiT on one 15 GiB chip (the single-chip
+    serving topology this seam exists to boot). Structure matches
+    quantize_t5_int4(init_t5(cfg, bf16), quantize_embed=...) leaf for leaf;
+    synthetic-perf seam only — real deployments quantize converted weights
+    host-side (pipeline/loader.py)."""
+    d, kd, f, L = cfg.d_model, cfg.num_heads * cfg.d_kv, cfg.d_ff, cfg.num_layers
+    ks = jax.random.split(key, 10)
+
+    def qlin(k, din, dout, std):
+        return {
+            "w_int4": jax.random.bits(k, (L, din // 2, dout), dtype=jnp.uint8),
+            "w_scale": jnp.full(
+                (L, din // _int4_group_for(din), dout), std / 7.0, jnp.float32
+            ),
+        }
+
+    s = d ** -0.5
+    blocks = {
+        "attn": {
+            "ln": jnp.ones((L, d), jnp.bfloat16),
+            "q": qlin(ks[0], d, kd, s),
+            "k": qlin(ks[1], d, kd, s),
+            "v": qlin(ks[2], d, kd, s),
+            "o": qlin(ks[3], kd, d, kd ** -0.5),
+        },
+        "ffn": {
+            "ln": jnp.ones((L, d), jnp.bfloat16),
+            "wi_0": qlin(ks[4], d, f, s),
+            "wi_1": qlin(ks[5], d, f, s),
+            "wo": qlin(ks[6], f, d, f ** -0.5),
+        },
+    }
+    embed = (
+        _rand_embed_int8(ks[7], cfg.vocab_size, d, 1.0)
+        if quantize_embed
+        else jax.random.normal(ks[7], (cfg.vocab_size, d)).astype(jnp.bfloat16)
+    )
+    return {
+        "embed": embed,
+        "relative_attention_bias": (
+            jax.random.normal(
+                ks[8], (cfg.relative_attention_num_buckets, cfg.num_heads)
+            ) * 0.1
+        ).astype(jnp.bfloat16),
+        "blocks": blocks,
+        "final_ln": jnp.ones((d,), jnp.bfloat16),
+    }
+
+
+def init_clip_int8(key: jax.Array, cfg) -> Params:
+    """Random int8-quantized CLIP text encoder built directly on device;
+    structure matches quantize_clip_int8(init_clip(cfg, bf16)). Same seam as
+    init_t5_int4 (tiny next to T5, but every GB counts at 15 GiB usable)."""
+    d, f, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    ks = jax.random.split(key, 8)
+
+    def qlin(k, din, dout):
+        return {
+            "w_int8": _rand_bits_int8(k, (din, dout), lead=(L,)),
+            "w_scale": jnp.full((L, dout), din ** -0.5 / 127.0, jnp.float32),
+            "b": jnp.zeros((L, dout), jnp.bfloat16),
+        }
+
+    def ln(lead=(L,)):
+        return {
+            "scale": jnp.ones((*lead, d), jnp.bfloat16),
+            "bias": jnp.zeros((*lead, d), jnp.bfloat16),
+        }
+
+    blocks = {
+        "ln1": ln(),
+        "attn": {
+            "q": qlin(ks[0], d, d),
+            "k": qlin(ks[1], d, d),
+            "v": qlin(ks[2], d, d),
+            "o": qlin(ks[3], d, d),
+        },
+        "ln2": ln(),
+        "fc1": qlin(ks[4], d, f),
+        "fc2": qlin(ks[5], f, d),
+    }
+    return {
+        "token_embed": _rand_embed_int8(ks[6], cfg.vocab_size, d, 0.02),
+        "pos_embed": (
+            jax.random.normal(ks[7], (cfg.max_length, d)) * 0.01
+        ).astype(jnp.bfloat16),
+        "blocks": blocks,
+        "final_ln": ln(lead=()),
+    }

@@ -84,8 +84,10 @@ def t5_encode(
     mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """input_ids (B, L) -> last_hidden_state (B, L, d_model)."""
+    from .quant import embedding_lookup
+
     b, L = input_ids.shape
-    x = params["embed"][input_ids]
+    x = embedding_lookup(params["embed"], input_ids)
 
     buckets = jnp.asarray(position_bias_table(cfg, L))
     # (L, L) buckets -> (1, H, L, L) bias from block 0's embedding table

@@ -332,17 +332,20 @@ def synthetic_full_components(
     queries, without FLUX checkpoints in the environment and without
     streaming ~12 GB over a slow host link.
 
-    HBM sequencing: T5 bf16 (~9.5 GB) is initialized and int4-quantized
-    (~2.4 GB) BEFORE the 12 GB DiT exists, so the transient peak is
-    ~12 GB, not ~21. t5_int4=False keeps T5 bf16 — only viable with >=2
-    chips or >16 GB HBM (docs/SERVING.md serving topology).
+    HBM sequencing: the quantized trees are initialized DIRECTLY in their
+    quantized layouts (init_t5_int4 / init_clip_int8 / init_flux_int8), so
+    peak HBM equals resident HBM (~14 GiB on a 15 GiB-usable chip). The
+    init-bf16-then-quantize route transiently holds the 9.2 GB bf16 T5 plus
+    fp32 quantization temps — measured to OOM next to the 12 GB int8 DiT.
+    t5_int4=False keeps T5 bf16 — only viable with >=2 chips or >16 GB HBM
+    (docs/SERVING.md serving topology).
 
     tiny=True shrinks every config (random_components' dimensions) so the
-    wiring — int8 DiT + int4 T5 + unpermuted half layout — is testable on
-    CPU; serve.py always uses the full size."""
+    wiring — int8 DiT + int4 T5 + int8 CLIP + unpermuted half layout — is
+    testable on CPU; serve.py always uses the full size."""
     import dataclasses
 
-    from ..models.quant import init_flux_int8, quantize_t5_int4
+    from ..models.quant import init_clip_int8, init_flux_int8, init_t5_int4
 
     if tiny:
         flux_cfg, ae_cfg = FluxConfig().tiny(), AutoEncoderConfig().tiny()
@@ -357,19 +360,29 @@ def synthetic_full_components(
     else:
         flux_cfg = FluxConfig()
         ae_cfg, t5_cfg, clip_cfg = AutoEncoderConfig(), T5Config(), CLIPTextConfig()
+    def settle(tree):
+        # sync + flush so deferred buffer FREES land before the next multi-GB
+        # allocation (on a remote-attached device frees can trail the host by
+        # a beat — see visualcloze.VisualClozeModel._retry_oom)
+        import numpy as np
+
+        jax.block_until_ready(tree)
+        np.asarray(jax.device_get(jnp.zeros((1,), jnp.float32)))
+
     ks = jax.random.split(key, 4)
-    t5_params = init_t5(ks[0], t5_cfg, dtype=jnp.bfloat16)
     if t5_int4:
-        q = quantize_t5_int4(t5_params)
-        del t5_params  # free the bf16 blocks before the DiT allocates
-        t5_params = q
+        t5_params = init_t5_int4(ks[0], t5_cfg)
+    else:
+        t5_params = init_t5(ks[0], t5_cfg, dtype=jnp.bfloat16)
+    settle(t5_params)
     flux_params = init_flux_int8(ks[1], flux_cfg)
+    settle(flux_params)
     ae = AutoEncoder(ae_cfg, init_autoencoder(ks[2], ae_cfg, dtype=jnp.bfloat16))
     t5 = TextEncoder(
         "t5", t5_cfg, t5_params, _tiny_tokenizer(t5_cfg.vocab_size), t5_cfg.max_length
     )
     clip = TextEncoder(
-        "clip", clip_cfg, init_clip(ks[3], clip_cfg, dtype=jnp.bfloat16),
+        "clip", clip_cfg, init_clip_int8(ks[3], clip_cfg),
         _tiny_tokenizer(clip_cfg.vocab_size), clip_cfg.max_length,
     )
     return VisualClozeModel(

@@ -167,11 +167,45 @@ class VisualClozeModel:
         transport (axon tunnel) the latter can acknowledge at enqueue."""
         if not self.hbm_serialize:
             return
-        leaf = next(
-            (l for l in jax.tree_util.tree_leaves(x) if hasattr(l, "dtype")), None
-        )
-        if leaf is not None:
-            np.asarray(jax.device_get(jnp.ravel(leaf)[:1]))
+        for leaf in jax.tree_util.tree_leaves(x):
+            # every jax leaf: one result dict can hold outputs of several
+            # programs (e.g. prepare_modified: T5 + CLIP + packing), and a
+            # fence on one program says nothing about the others
+            if isinstance(leaf, jax.Array):
+                np.asarray(jax.device_get(jnp.ravel(leaf)[:1]))
+
+    def _retry_oom(self, fn, *args, **kwargs):
+        """hbm_serialize: bounded retry on RESOURCE_EXHAUSTED. On a
+        remote-attached device (axon tunnel) buffer FREES land a beat late —
+        measured: a deleted 15.5 GiB probe buffer still blocked a 4-byte
+        allocation issued right after — so with ~1.5 GiB of headroom a stage
+        can transiently collide with the previous program's not-yet-released
+        temps. Stage functions are pure jitted programs, so re-dispatch is
+        safe; each retry syncs the stream (tiny readback) and backs off to
+        let the frees land."""
+        if not self.hbm_serialize:
+            return fn(*args, **kwargs)
+        import time
+
+        last = None
+        for attempt in range(5):
+            try:
+                out = fn(*args, **kwargs)
+                # sync INSIDE the retry scope: dispatch is async, so an OOM'd
+                # program only surfaces at the first readback — which must
+                # happen here, not at some later caller, for retry to work
+                self._fence(out)
+                return out
+            except jax.errors.JaxRuntimeError as e:  # pragma: no cover - device
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                last = e
+                time.sleep(1.0 + 1.5 * attempt)
+                try:  # flush the stream so pending frees are processed
+                    np.asarray(jax.device_get(jnp.zeros((1,), jnp.float32)))
+                except Exception:
+                    pass
+        raise last
 
     def add_adapter(self, name: str, lora: dict) -> None:
         """Register a runtime LoRA adapter (tree from models.lora.init_lora /
@@ -348,14 +382,19 @@ class VisualClozeModel:
 
     def encode_row(self, row_img: np.ndarray, key: jax.Array) -> jnp.ndarray:
         """(H, W, 3) [-1,1] pixels -> (1, H/8, W/8, 16) scaled latent."""
-        return self._encode_jit(self.ae.params, jnp.asarray(row_img)[None], key)
+        return self._retry_oom(
+            self._encode_jit, self.ae.params, jnp.asarray(row_img)[None], key
+        )
 
     def decode_latent(self, z: jnp.ndarray) -> np.ndarray:
         """(1, h, w, 16) scaled latent -> (H, W, 3) pixels in [0,1]."""
         with self._exclusive():
             # the full np.asarray readback doubles as the fence here
-            x = self._decode_jit(self.ae.params, z)
-            return np.asarray((np.asarray(x[0], np.float32) + 1.0) / 2.0)
+            def run(p, z):
+                x = self._decode_jit(p, z)
+                return np.asarray((np.asarray(x[0], np.float32) + 1.0) / 2.0)
+
+            return self._retry_oom(run, self.ae.params, z)
 
     def process_images(
         self,
@@ -421,7 +460,6 @@ class VisualClozeModel:
             for i, (row, mask) in enumerate(zip(row_images, row_masks)):
                 key, ek, nk = jax.random.split(key, 3)
                 lat = self.encode_row(row, ek)  # (1, h, w, 16)
-                self._fence(lat)
                 cond_tokens.append(patchify(lat.astype(jnp.bfloat16))[0])
                 mask_tokens.append(
                     pack_mask(jnp.asarray(mask)[None].astype(jnp.bfloat16))[0]
@@ -445,11 +483,11 @@ class VisualClozeModel:
             # token count — the flagship 2x3 grid (3456 img + 512 txt = 3968)
             # carries zero bucket padding where a 512-bucket added 128 dead
             # tokens to every matmul
-            inp = prepare_modified(
+            inp = self._retry_oom(
+                prepare_modified,
                 self.t5, self.clip, [noise_rows], [" ".join(prompts)],
                 proportion_empty_prompts=0.0, bucket=128,
             )
-            self._fence(inp["txt"])
         if inp["img"].shape[1] > true_len:
             # pad img_cond to the bucketed length too
             pad = inp["img"].shape[1] - true_len
@@ -491,14 +529,18 @@ class VisualClozeModel:
         """Stage D (DiT chip): the compiled 30-step rectified-flow loop."""
         lora = self._resolve_adapter(q.get("adapter"))
         with self._exclusive():
-            out = self._denoise_jit(
-                self.params, lora, self.lora_scale if lora is not None else 1.0,
-                q["x"], q["ts"], q["img_cond"], q["txt"], q["txt_ids"],
-                q["txt_mask"], q["vec"], q["img_ids"], q["img_mask"],
-                q["guidance"], method=self.solver,
-            )
-            self._fence(out)
-        return out
+            def run():
+                out = self._denoise_jit(
+                    self.params, lora,
+                    self.lora_scale if lora is not None else 1.0,
+                    q["x"], q["ts"], q["img_cond"], q["txt"], q["txt_ids"],
+                    q["txt_mask"], q["vec"], q["img_ids"], q["img_mask"],
+                    q["guidance"], method=self.solver,
+                )
+                self._fence(out)
+                return out
+
+            return self._retry_oom(run)
 
     def finalize_query(
         self,
@@ -615,7 +657,8 @@ class VisualClozeModel:
             noise = jax.random.normal(
                 nk, latent.shape, dtype=jnp.float32
             ).astype(jnp.bfloat16)
-            inp = prepare_modified(
+            inp = self._retry_oom(
+                prepare_modified,
                 self.t5, self.clip, [[noise]], [content_prompt],
                 proportion_empty_prompts=0.0, bucket=128,
             )
